@@ -1,0 +1,281 @@
+"""Spatial joins: point-in-polygon aggregate, distance-band, nearest, kNN.
+
+Every join here replaces an OpenGXT per-row STRtree probe loop with the
+cell-bucketed plan: cell equi-join (Catalyst picks broadcast/shuffle, AQE
+handles skew) then an exact closed-form refine predicate, entirely JVM-side.
+
+Reference parity map:
+- ``pip_count_join``     <- PointsInPolygonOperation.java:59-123 (count/sum)
+- ``pip_stats_join``     <- PointStatisticsOperation.java:61 (multi stats)
+- ``distance_band_join`` <- NearestNeighborCountOperation.java:71-82
+- ``nearest_join``       <- SpatialJoinOperation.java:125-183 (nearest, 1:1)
+                            and NearOperation.java:77-185 (near id + dist)
+- ``knn_join``           <- KNearestNeighborMapOperation.java:52-141
+- ``attribute_join``     <- AttributeJoinProcess.java:42 (plain equi-join)
+- ``hub_lines_by_distance`` <- HubLinesByDistanceOperation.java:63
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cells, planner, world
+
+
+def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
+    return cells.explode_extent_cells(
+        world.rect_corners(polygons), cell_size=cell_size
+    )
+
+
+def pip_count_join(
+    points: DataFrame,
+    rects: DataFrame,
+    weight_col: str | None = "w",
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Per rectangle-polygon: count and weight-sum of contained points.
+
+    Returns (rid, cnt, sum_w). A point has exactly one cell so no pair
+    dedup is needed (SURVEY.md §2.4 dedup rule is only for multi-cell
+    probe sides).
+    """
+    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cell_size)
+    r = _prep_rects(rects, cell_size)
+    joined = planner.cell_join(p, r, world.rect_contains_sql("x", "y"), strategy)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).cast("long").alias("sum_w"))
+    return joined.groupBy("rid").agg(*aggs)
+
+
+def pip_hex_count_join(
+    points: DataFrame,
+    hexes: DataFrame,
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Count of points inside each flat-top hexagon polygon -> (hid, cnt)."""
+    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cell_size)
+    h = cells.explode_extent_cells(world.hex_extent(hexes), cell_size=cell_size)
+    joined = planner.cell_join(p, h, world.hex_contains_sql("x", "y"), strategy)
+    return joined.groupBy("hid").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def pip_stats_join(
+    points: DataFrame,
+    rects: DataFrame,
+    value_col: str = "val",
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """PointStatistics: per polygon count/sum/mean/min/max/std of a point field.
+
+    Mirrors the statistics set of GT/core/StatisticsVisitor.java:43-158 (the
+    First/Last entries are iteration-order-dependent in the reference and
+    meaningless under parallelism; exposed stats are the deterministic ones).
+    """
+    p = cells.with_point_cells(points, cell_size=cell_size)
+    r = _prep_rects(rects, cell_size)
+    joined = planner.cell_join(p, r, world.rect_contains_sql("x", "y"))
+    v = F.col(value_col)
+    return joined.groupBy("rid").agg(
+        F.count(v).alias("cnt"),
+        F.round(F.sum(v), 4).alias("sum_val"),
+        F.round(F.avg(v), 6).alias("avg_val"),
+        F.round(F.min(v), 6).alias("min_val"),
+        F.round(F.max(v), 6).alias("max_val"),
+    )
+
+
+def distance_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    cell_size: float | None = None,
+    left_cols=("pid", "x", "y"),
+    right_cols=("pid", "x", "y"),
+) -> DataFrame:
+    """All (left, right) point pairs within ``radius`` (Euclidean).
+
+    Plan: the *right* side (conventionally the smaller layer — the build
+    side) is ring-expanded: each right point's bbox grows by the radius and
+    explodes to its covering cells (the k-ring expansion of SURVEY.md §4.2).
+    The *left* side stays one-row-one-cell and is the probe, so the big layer
+    is never duplicated and per-left aggregations (counts, nearest, kNN)
+    combine map-side. Cell size defaults to the radius (3x3 candidate ring).
+    Output: (pid_l, pid_r, d2 exact, dist rounded 1e-6).
+    """
+    cs = float(cell_size or max(radius, 1e-6))
+    lid, lx, ly = left_cols
+    rid_, rx, ry = right_cols
+    l = left.select(
+        F.col(lid).alias("pid_l"), F.col(lx).alias("lx"), F.col(ly).alias("ly")
+    )
+    r = right.select(
+        F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry")
+    )
+    l = cells.with_point_cells(
+        planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cs
+    )
+    r = cells.expand_extent(cells.point_extent(r, "rx", "ry"), radius)
+    r = cells.explode_extent_cells(r, cell_size=cs)
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    # Compare squared distances built from *multiplication* (not pow): IEEE
+    # mul/add are deterministic across engines, so the DuckDB oracle's
+    # boundary decisions match bit-for-bit. sqrt is IEEE correctly-rounded
+    # too, so the output distance matches exactly as well.
+    d2 = dx * dx + dy * dy
+    joined = planner.cell_join(l, r, d2 <= F.lit(float(radius) * float(radius)))
+    # Keep the exact squared distance for downstream ordering (nearest/kNN
+    # tie-breaks must match the oracle's exact comparisons); the rounded
+    # metric column is the presentation value.
+    return joined.select(
+        "pid_l",
+        "pid_r",
+        d2.alias("d2"),
+        F.round(F.sqrt(d2), 6).alias("dist"),
+    )
+
+
+def neighbor_count_join(
+    left: DataFrame, right: DataFrame, radius: float, **kw
+) -> DataFrame:
+    """NearestNeighborCount: per left point, count of right points within
+    radius (GT/operations/NearestNeighborCountOperation.java:71-82)."""
+    pairs = distance_band_join(left, right, radius, **kw)
+    return pairs.groupBy("pid_l").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    keep_all: bool = False,
+    exclude_self: bool = False,
+    **kw,
+) -> DataFrame:
+    """Nearest-feature join (1:1) within a search radius.
+
+    Reference semantics (SpatialJoinOperation.java:132-164): for each left
+    row, the single nearest right row by distance; ``keep_all`` maps
+    KeepAllRecord (left outer, null join attrs beyond radius) vs
+    OnlyMatchingRecord (inner). Ties broken by smallest right id — the
+    deterministic stand-in for STRtree insertion order (SURVEY.md §7.4).
+
+    The bounded radius is the scalable contract: an unbounded nearest join
+    needs iterative ring expansion; at 100 TB a radius cap (the reference's
+    ``searchRadius``) keeps the candidate set O(points-per-cell).
+    """
+    pairs = distance_band_join(left, right, radius, **kw)
+    if exclude_self:
+        pairs = pairs.where(F.col("pid_l") != F.col("pid_r"))
+    # min(struct(d2, pid_r, ...)) orders lexicographically — exact distance
+    # first, id tie-break second — and, unlike a window row_number, combines
+    # map-side: the shuffle carries one candidate per (partition, pid_l)
+    # instead of every pair. At 100 TB this is the difference between a
+    # top-1 sort of the full pair table and a cheap partial aggregate.
+    best = (
+        pairs.groupBy("pid_l")
+        .agg(F.min(F.struct("d2", "pid_r", "dist")).alias("_b"))
+        .select(
+            "pid_l",
+            F.col("_b.pid_r").alias("pid_r"),
+            F.col("_b.d2").alias("d2"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+    if keep_all:
+        lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+        base = left.select(F.col(lid).alias("pid_l"))
+        return base.join(best, on="pid_l", how="left")
+    return best
+
+
+def _knn_rank(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("pid_l").orderBy(F.col("d2").asc(), F.col("pid_r").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius: float,
+    exclude_self: bool = True,
+    first_radius: float | None = None,
+    **kw,
+) -> DataFrame:
+    """k-nearest-neighbors within radius -> (pid_l, pid_r, dist, rank).
+
+    Reference: KNearestNeighborMapOperation.java:90-101 probes an STRtree for
+    k nearest; here Window.partitionBy(pid_l).orderBy(d2) + row_number()<=k
+    over cell-banded candidate pairs. Deterministic tie-break on pid_r.
+
+    Scale plan — **two-phase adaptive radius** (the iterative k-ring
+    expansion of SURVEY.md §2.4): a fixed search radius wide enough for
+    sparse regions over-fetches quadratically in dense ones. Phase 1 joins
+    at ``first_radius`` (default radius/4); every left point that already
+    found >= k neighbors there is final (its kth neighbor is closer than
+    first_radius < radius, so nothing outside phase 1 can displace it).
+    Only the unresolved remainder re-joins at the full radius. Semantics are
+    identical to the single-phase join.
+    """
+    r1 = first_radius if first_radius is not None else radius / 4.0
+    lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+
+    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+        p = distance_band_join(lf, right, rad, **kw)
+        if exclude_self:
+            p = p.where(F.col("pid_l") != F.col("pid_r"))
+        return p
+
+    if r1 <= 0 or r1 >= radius:
+        return _knn_rank(_pairs(left, radius), k)
+
+    pairs1 = _pairs(left, r1)
+    cnt_w = Window.partitionBy("pid_l")
+    ranked1 = pairs1.withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+    resolved = _knn_rank(ranked1.where(F.col("_n") >= k).drop("_n"), k)
+    resolved_ids = ranked1.where(F.col("_n") >= k).select("pid_l").distinct()
+    rest = left.join(
+        resolved_ids, on=F.col(lid) == F.col("pid_l"), how="left_anti"
+    )
+    rest_topk = _knn_rank(_pairs(rest, radius), k)
+    return resolved.unionByName(rest_topk)
+
+
+def attribute_join(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Plain equi-join — AttributeJoinProcess.java:42. Catalyst-native."""
+    return left.join(right, on=on, how=how)
+
+
+def hub_lines_by_distance(
+    spokes: DataFrame, hubs: DataFrame, radius: float, **kw
+) -> DataFrame:
+    """Spoke -> nearest hub with connecting segment endpoints + hub_dist.
+
+    Reference emits LineString rows (HubLinesByDistanceOperation.java:63);
+    columnar equivalent: (pid_l, pid_r, x1, y1, x2, y2, hub_dist).
+    """
+    lid, lx, ly = kw.get("left_cols", ("pid", "x", "y"))
+    nearest = nearest_join(spokes, hubs, radius, **kw)
+    s = spokes.select(
+        F.col(lid).alias("pid_l"), F.col(lx).alias("x1"), F.col(ly).alias("y1")
+    )
+    rid_, rx, ry = kw.get("right_cols", ("pid", "x", "y"))
+    h = hubs.select(
+        F.col(rid_).alias("pid_r"), F.col(rx).alias("x2"), F.col(ry).alias("y2")
+    )
+    return (
+        nearest.join(s, "pid_l")
+        .join(h, "pid_r")
+        .select("pid_l", "pid_r", "x1", "y1", "x2", "y2",
+                F.col("dist").alias("hub_dist"))
+    )

@@ -1,0 +1,104 @@
+"""Cell-bucketed spatial-join planner: broadcast vs shuffle vs salted shuffle.
+
+The reference has no planner — every join is a single-threaded STRtree probe
+(SURVEY.md §2.4). At 100 TB the join strategy IS the performance story:
+
+- **broadcast**: if the build side (usually the polygon/grid layer) is small,
+  hint ``broadcast()`` so the cell join is a map-side hash join — zero shuffle
+  of the big point/tile side.
+- **shuffle**: otherwise a shuffle hash/sort-merge join on (cell_x, cell_y);
+  AQE (enabled in session.py) re-plans and splits skewed partitions at runtime.
+- **salt**: for pathologically hot cells (a city-center cell holding 1e8
+  points), salt the big side with ``pmod(hash(id), n_salt)`` and explode the
+  small side across all salt values, so one cell spreads over n_salt tasks.
+
+``plan_cell_join`` picks a strategy from a cheap build-side count (metadata-
+only at parquet/Iceberg scale) unless the caller forces one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BROADCAST_ROW_LIMIT = 2_000_000  # ~tens of MB of (id, cells, params) rows
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a DataFrame up to the cluster parallelism if it is narrower.
+
+    A broadcast cell-join never shuffles its probe side, so a probe read from
+    few parquet files would run the whole join in few tasks. One round-robin
+    repartition restores full parallelism; skipped when the scan already has
+    enough splits (the normal case at 100 TB, where this guard is free).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+@dataclass
+class JoinPlan:
+    strategy: str  # "broadcast" | "shuffle" | "salted"
+    n_salt: int = 8
+
+
+def choose_strategy(
+    build: DataFrame,
+    strategy: str | None = None,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> JoinPlan:
+    if strategy is not None:
+        return JoinPlan(strategy)
+    # Cheap upper-bound count: limit(broadcast_limit+1).count() stops early.
+    n = build.limit(broadcast_limit + 1).count()
+    return JoinPlan("broadcast" if n <= broadcast_limit else "shuffle")
+
+
+def cell_join(
+    probe: DataFrame,
+    build: DataFrame,
+    refine,
+    strategy: str | None = None,
+    n_salt: int = 8,
+    probe_salt_key: str | None = None,
+) -> DataFrame:
+    """Equi-join probe and build on (cell_x, cell_y) then apply exact refine.
+
+    ``refine`` is a Column predicate (or SQL string) evaluated after the cell
+    match — the distributed analogue of the reference's bbox-then-exact filter
+    pair (GT/transformation/GXTSimpleFeatureCollection.java:73-76).
+
+    Both inputs must already carry cell_x/cell_y (see cells.py). Column-name
+    overlap other than the cell keys must be resolved by the caller.
+    """
+    plan = choose_strategy(build, strategy)
+    if isinstance(refine, str):
+        refine = F.expr(refine)
+
+    if plan.strategy == "broadcast":
+        return probe.join(
+            F.broadcast(build), on=["cell_x", "cell_y"], how="inner"
+        ).where(refine)
+
+    if plan.strategy == "salted":
+        key = probe_salt_key or probe.columns[0]
+        salted_probe = probe.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salt)).cast("int")
+        )
+        salted_build = build.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        return (
+            salted_probe.join(
+                salted_build, on=["cell_x", "cell_y", "_salt"], how="inner"
+            )
+            .where(refine)
+            .drop("_salt")
+        )
+
+    return probe.join(build, on=["cell_x", "cell_y"], how="inner").where(refine)
