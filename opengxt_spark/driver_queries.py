@@ -177,3 +177,150 @@ def q_attribute_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binning & grids (M2)
+# ---------------------------------------------------------------------------
+
+from . import binning  # noqa: E402
+
+_WORLD = binning.WORLD_BBOX
+
+
+@_register(
+    "rect_binning_events",
+    binning.rect_bin_oracle_sql(world.POINTS_EVENTS_SQL, _WORLD, 50, 40),
+)
+def q_rect_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RectangularBinningProcess: 50x40 grid, sum of integer weight."""
+    pts = world.points_events(spark, sf_dir)
+    return binning.rect_binning(pts, _WORLD, columns=50, rows=40)
+
+
+@_register(
+    "hex_binning_events",
+    binning.hex_bin_oracle_sql(world.POINTS_EVENTS_SQL, _WORLD, 12.0),
+)
+def q_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HexagonalBinningProcess: pointy-top hex grid size=12, exact
+    reference assignment math (nearest-center correction included)."""
+    pts = world.points_events(spark, sf_dir)
+    return binning.hex_binning(pts, _WORLD, size=12.0)
+
+
+@_register("fishnet_grid_25", binning.fishnet_oracle_sql(_WORLD, 25.0, 25.0))
+def q_fishnet_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FishnetProcess: 40x40 rectangular grid generator (spark.range)."""
+    return binning.fishnet_grid(spark, _WORLD, 25.0, 25.0)
+
+
+@_register("hexagon_grid_30", binning.hexagon_grid_oracle_sql(_WORLD, 30.0))
+def q_hexagon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HexagonProcess: pointy-top hexagon grid generator, size=30."""
+    return binning.hexagon_grid(spark, _WORLD, 30.0)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation statistics (M2) — shared-text SQL with exact-integer-sum
+# discipline: every SUM runs over integers (order-free), double arithmetic
+# happens once per group on exact inputs, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_STATS_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_sum_c,
+       ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*), 6) AS qty_avg,
+       MIN(l_quantity) AS qty_min,
+       MAX(l_quantity) AS qty_max,
+       ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+              - CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                * CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / COUNT(*))
+             / (COUNT(*) - 1) / 10000.0, 6) AS qty_var,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_sum_c,
+       MIN(l_extendedprice) AS price_min,
+       MAX(l_extendedprice) AS price_max
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("stats_lineitem", _STATS_LINEITEM_SQL)
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatisticsFeaturesProcess: grouped count/sum/mean/min/max/variance
+    (DataStatisticsOperation + StatisticsVisitor semantics)."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(_STATS_LINEITEM_SQL)
+
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS s,
+         CAST(SUM(w * w) AS BIGINT) AS s2,
+         COUNT(*) AS n
+  FROM points_events
+)
+SELECT p.pid AS pid, p.w AS w,
+       ROUND((CAST(p.w AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1)), 6) AS z
+FROM points_events p CROSS JOIN stats
+"""
+
+
+@_register("zscores_events", world.with_layers(_ZSCORE_SQL, "points_events"))
+def q_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardizedScoresProcess: per-row z-score of the integer weight
+    (sample stddev, matching StatisticsVisitor's n-1)."""
+    world.register_layers(spark, sf_dir)
+    return spark.sql(_ZSCORE_SQL)
+
+
+_PEARSON_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx, CAST(SUM(qy * qy) AS BIGINT) AS syy,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy
+  FROM (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qx,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS qy
+        FROM lineitem)
+)
+SELECT ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+FROM s
+"""
+
+
+@_register("pearson_lineitem", _PEARSON_SQL)
+def q_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PearsonCorrelationProcess via exact integer sums (order-free)."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(_PEARSON_SQL)
+
+
+_DISSOLVE_SQL = """
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(cx - hw) AS uxmin, MIN(cy - hh) AS uymin,
+       MAX(cx + hw) AS uxmax, MAX(cy + hh) AS uymax,
+       CAST(SUM(CAST(FLOOR(bal * 100.0) AS BIGINT)) AS BIGINT) AS bal_sum_c,
+       ROUND(CAST(SUM(CAST(FLOOR(bal * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*), 6) AS bal_avg
+FROM rects_customer
+GROUP BY seg
+"""
+
+
+@_register("dissolve_rects_seg", world.with_layers(_DISSOLVE_SQL, "rects_customer"))
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DissolveProcess: group rects by segment -> union envelope + stats
+    (DissolveOperation.java:74-169; envelope stands in for the cascaded
+    polygon union, exact for axis-aligned layers)."""
+    world.register_layers(spark, sf_dir)
+    return spark.sql(_DISSOLVE_SQL)

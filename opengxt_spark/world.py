@@ -36,6 +36,22 @@ _KX = 2654435761
 _KY = 1597334677
 
 
+def dlit(v: float) -> str:
+    """Float literal for shared SQL fragments. DuckDB parses bare ``25.0`` as
+    DECIMAL and does exact decimal arithmetic, silently diverging from
+    Spark's IEEE doubles; an explicit cast pins both engines to the same
+    double (decimal->double conversion is correctly rounded)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def with_layers(sql: str, *layers: str) -> str:
+    """Prepend layer CTEs to a query, merging with an existing WITH clause."""
+    body = sql.lstrip()
+    if body[:4].upper() == "WITH":
+        return oracle_cte(*layers) + ",\n" + body[4:]
+    return oracle_cte(*layers) + "\n" + body
+
+
 def px_sql(id_col: str) -> str:
     """x coordinate in [0, 1000): identical text for Spark SQL and DuckDB."""
     return f"(CAST(((({id_col}) * {_KX}) % 1000000) AS DOUBLE) / 1000.0)"
@@ -141,6 +157,14 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (idempotent)."""
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def register_layers(spark: SparkSession, sf_dir: str) -> None:
+    """Register base tables AND the synthetic layers as temp views, so gate
+    queries can run one shared SQL text on both Spark and DuckDB."""
+    register_tables(spark, sf_dir)
+    for name, sql in LAYER_SQL.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
 
 
 def load_layer(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
