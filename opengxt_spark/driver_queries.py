@@ -324,3 +324,186 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygon union, exact for axis-aligned layers)."""
     world.register_layers(spark, sf_dir)
     return spark.sql(_DISSOLVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spatial autocorrelation (M5) — pair table + exact integer sums + shared
+# scalar stage fragments (see autocorr.py docstring for the parity contract).
+# Analysis field v = w % 97 keeps 4th-moment integer sums overflow-free.
+# ---------------------------------------------------------------------------
+
+from . import autocorr  # noqa: E402
+
+_AC_BAND = 10.0
+
+
+def _ac_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return world.points_events(spark, sf_dir).withColumn("v", F.expr("w % 97"))
+
+
+_AC_PTS_CTE = (
+    "pts AS (SELECT pid, x, y, w % 97 AS v FROM points_events)"
+)
+_AC_PAIRS_CTE = (
+    "pairs AS (SELECT a.pid AS pid_l, b.pid AS pid_r, a.v AS vi, b.v AS vj "
+    "FROM pts a JOIN pts b ON (a.x - b.x) * (a.x - b.x) "
+    "+ (a.y - b.y) * (a.y - b.y) <= 100.0)"
+)
+_AC_MOMENTS_CTE = (
+    "moments AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+    "CAST(SUM(v * v) AS BIGINT) AS s2, CAST(SUM(v * v * v) AS BIGINT) AS s3, "
+    "CAST(SUM(v * v * v * v) AS BIGINT) AS s4 FROM pts)"
+)
+
+
+def _moran_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg CROSS JOIN degs",
+        autocorr.GLOBAL_MORAN_STAGES,
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+nself AS (SELECT * FROM pairs WHERE pid_l <> pid_r),
+{_AC_MOMENTS_CTE},
+pagg AS (SELECT COUNT(*) AS n_pairs, CAST(SUM(vi * vj) AS BIGINT) AS p11,
+         CAST(SUM(vi) AS BIGINT) AS pl, CAST(SUM(vj) AS BIGINT) AS pr FROM nself),
+degs AS (SELECT CAST(SUM(deg * deg) AS BIGINT) AS sumdeg2 FROM
+         (SELECT pid_l, COUNT(*) AS deg FROM nself GROUP BY pid_l))
+SELECT ROUND(moran_i, 6) AS moran_i, ROUND(expected_i, 6) AS expected_i,
+       ROUND(z_var, 6) AS z_var, ROUND(z_score, 6) AS z_score,
+       ROUND(p_value, 6) AS p_value
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_morans_i", _moran_oracle())
+def q_global_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalMoransIProcess: fixed-distance-band binary weights, band=10."""
+    return autocorr.global_morans_i(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def _local_moran_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", autocorr.LOCAL_MORAN_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+nself AS (SELECT * FROM pairs WHERE pid_l <> pid_r),
+{_AC_MOMENTS_CTE},
+per_i AS (SELECT pid_l AS pid, vi AS v, COUNT(*) AS deg,
+          CAST(SUM(vj) AS BIGINT) AS nbr_sum FROM nself GROUP BY pid_l, vi)
+SELECT pid, ROUND(lmi_index, 6) AS lmi_index, ROUND(lmi_z, 6) AS lmi_z,
+       ROUND(lmi_p, 6) AS lmi_p, co_type
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("local_morans_i", _local_moran_oracle())
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalMoransIProcess (Anselin LISA) + HH/LL/HL/LH COType bins."""
+    return autocorr.local_morans_i(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def _local_g_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", autocorr.LOCAL_G_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+{_AC_MOMENTS_CTE},
+per_i AS (SELECT pid_l AS pid, vi AS v, COUNT(*) AS deg_s,
+          CAST(SUM(vj) AS BIGINT) AS loc_sum FROM pairs GROUP BY pid_l, vi)
+SELECT pid, ROUND(gi_z, 6) AS gi_z, ROUND(gi_p, 6) AS gi_p,
+       ROUND(gi_mean, 6) AS gi_mean, ROUND(gi_var, 6) AS gi_var
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("local_g_star", _local_g_oracle())
+def q_local_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalGStatisticsProcess (Getis-Ord Gi*, selfNeighbors=true)."""
+    return autocorr.local_g(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def _nni_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM agg", autocorr.NNI_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH nearest AS (
+  SELECT pid_l, d2 FROM (
+    SELECT a.pid AS pid_l, b.pid AS pid_r,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY a.pid
+             ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) ASC,
+                      b.pid ASC) AS rn
+    FROM points_events a JOIN points_events b
+      ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500.0
+     AND a.pid <> b.pid
+  ) WHERE rn = 1
+),
+agg AS (SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(FLOOR(SQRT(d2) * 1000000.0) AS BIGINT)) AS BIGINT) AS dist_sum_u
+        FROM nearest)
+SELECT CAST(n AS BIGINT) AS n, ROUND(obs_mean, 6) AS obs_mean,
+       ROUND(exp_mean, 6) AS exp_mean, ROUND(nn_ratio, 6) AS nn_ratio,
+       ROUND(nni_z, 6) AS nni_z, ROUND(nni_p, 6) AS nni_p
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("nni_events", _nni_oracle())
+def q_nni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearestNeighborProcess (average NN index), search radius 50."""
+    return autocorr.nni(world.points_events(spark, sf_dir), search_radius=50.0)
+
+
+def _quadrat_oracle() -> str:
+    nq = 40 * 40
+    sub = binning.stages_to_subquery(
+        world.LAYER_SQL["points_events"], binning.rect_bin_stages(_WORLD, 40, 40)
+    )
+    stages = [
+        ("qmean", f"CAST(sum_c AS DOUBLE) / {world.dlit(float(nq))}"),
+        (
+            "qvariance",
+            f"(CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) "
+            f"/ {world.dlit(float(nq))}) / {world.dlit(float(nq))}",
+        ),
+        ("vmr", "qvariance / qmean"),
+    ]
+    nested = binning.stages_to_subquery("SELECT * FROM agg", stages)
+    return f"""
+WITH cellcnt AS (
+  SELECT col, row, COUNT(*) AS c FROM {sub}
+  WHERE col >= 0 AND row >= 0 AND col < 40 AND row < 40 GROUP BY col, row
+),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS sum_c,
+        CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM cellcnt)
+SELECT CAST({nq} AS BIGINT) AS n_quadrats, sum_c AS n_points,
+       ROUND(qmean, 6) AS qmean, ROUND(qvariance, 6) AS qvariance,
+       ROUND(vmr, 6) AS vmr
+FROM {nested}
+"""
+
+
+@_register("quadrat_events", _quadrat_oracle())
+def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuadratAnalysisProcess VMR over a 40x40 grid (KS-D computed
+    driver-side via autocorr.quadrat_ks on the tiny histogram)."""
+    return autocorr.quadrat(world.points_events(spark, sf_dir), _WORLD, 40, 40)

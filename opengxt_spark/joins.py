@@ -96,6 +96,8 @@ def distance_band_join(
     cell_size: float | None = None,
     left_cols=("pid", "x", "y"),
     right_cols=("pid", "x", "y"),
+    left_extra: dict[str, str] | None = None,
+    right_extra: dict[str, str] | None = None,
 ) -> DataFrame:
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
@@ -110,11 +112,15 @@ def distance_band_join(
     cs = float(cell_size or max(radius, 1e-6))
     lid, lx, ly = left_cols
     rid_, rx, ry = right_cols
+    lex = {k: F.col(v).alias(k) for k, v in (left_extra or {}).items()}
+    rex = {k: F.col(v).alias(k) for k, v in (right_extra or {}).items()}
     l = left.select(
-        F.col(lid).alias("pid_l"), F.col(lx).alias("lx"), F.col(ly).alias("ly")
+        F.col(lid).alias("pid_l"), F.col(lx).alias("lx"), F.col(ly).alias("ly"),
+        *lex.values(),
     )
     r = right.select(
-        F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry")
+        F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry"),
+        *rex.values(),
     )
     l = cells.with_point_cells(
         planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cs
@@ -137,6 +143,7 @@ def distance_band_join(
         "pid_r",
         d2.alias("d2"),
         F.round(F.sqrt(d2), 6).alias("dist"),
+        *[F.col(k) for k in (*lex, *rex)],
     )
 
 

@@ -53,13 +53,24 @@ def with_layers(sql: str, *layers: str) -> str:
 
 
 def px_sql(id_col: str) -> str:
-    """x coordinate in [0, 1000): identical text for Spark SQL and DuckDB."""
-    return f"(CAST(((({id_col}) * {_KX}) % 1000000) AS DOUBLE) / 1000.0)"
+    """x coordinate in [0, 1000): identical text for Spark SQL and DuckDB.
+
+    The quadratic scramble term breaks the rank-1 lattice structure a pure
+    multiplicative hash would produce (a Weyl lattice has a large minimum
+    pair distance, which starves distance-band statistics at small n)."""
+    return (
+        f"(CAST(((({id_col}) * {_KX} + ((({id_col}) * ({id_col})) % 1000003) * 7919) "
+        "% 1000000) AS DOUBLE) / 1000.0)"
+    )
 
 
 def py_sql(id_col: str) -> str:
     """y coordinate in [0, 1000)."""
-    return f"(CAST((((({id_col}) + 7) * {_KY}) % 1000000) AS DOUBLE) / 1000.0)"
+    return (
+        f"(CAST((((({id_col}) + 7) * {_KY} "
+        f"+ (((({id_col}) + 3) * (({id_col}) + 3)) % 999983) * 104729) "
+        "% 1000000) AS DOUBLE) / 1000.0)"
+    )
 
 
 def int_weight_sql(value_col: str) -> str:

@@ -12,11 +12,11 @@ HALF_SQRT3 = 0.8660254037844386
 
 
 def px(i: int) -> float:
-    return ((i * 2654435761) % 1000000) / 1000.0
+    return ((i * 2654435761 + ((i * i) % 1000003) * 7919) % 1000000) / 1000.0
 
 
 def py(i: int) -> float:
-    return (((i + 7) * 1597334677) % 1000000) / 1000.0
+    return (((i + 7) * 1597334677 + (((i + 3) * (i + 3)) % 999983) * 104729) % 1000000) / 1000.0
 
 
 def int_weight(value: float) -> int:
