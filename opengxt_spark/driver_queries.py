@@ -507,3 +507,47 @@ def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QuadratAnalysisProcess VMR over a 40x40 grid (KS-D computed
     driver-side via autocorr.quadrat_ks on the tiny histogram)."""
     return autocorr.quadrat(world.points_events(spark, sf_dir), _WORLD, 40, 40)
+
+
+# ---------------------------------------------------------------------------
+# Raster / image pipeline (M4)
+# ---------------------------------------------------------------------------
+
+from . import raster  # noqa: E402
+
+
+@_register("image_tile_assign", raster.footprint_tiles_oracle_sql())
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint->tile assignment for the image+caption table (the
+    BASELINE.json tile-assignment contract; caption carried through to prove
+    per-row caption equality)."""
+    return raster.footprint_tiles(raster.images_meta(spark, sf_dir))
+
+
+@_register("zonal_stats_rects", raster.zonal_oracle_sql())
+def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterZonalStatisticsProcess: per-zone count/sum/mean/min/max of the
+    synthetic value raster (500x500) under customer-rect zones."""
+    return raster.zonal_stats(spark, world.rects_customer(spark, sf_dir))
+
+
+@_register(
+    "kernel_density_quartic",
+    raster.kernel_density_oracle_sql(world.POINTS_EVENTS_SQL),
+)
+def q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KernelDensityProcess (quartic kernel, exact reference stamping
+    semantics: integer pixel offsets, scaleArea normalization)."""
+    return raster.kernel_density(world.points_events(spark, sf_dir))
+
+
+def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize image luminance into world tiles (pixel-level path;
+    rows-only check — pixel blocks validated in pytest instead)."""
+    tiles = raster.rasterize_tiles(raster.images_table(spark, sf_dir))
+    return tiles.select(
+        "tx", "ty", "npix", F.round("sum_lum", 2).alias("sum_lum")
+    )
+
+
+QUERIES["rasterize_tiles"] = q_rasterize_tiles

@@ -1,0 +1,420 @@
+"""Raster <-> vector pipeline over the image+caption table.
+
+BASELINE.json input_hint: an Iceberg table ``(image_id string, bytes binary,
+w int, h int, fmt string, caption string, phash bigint)`` at 10^12-image
+design scale. Here the table is synthesized deterministically from `orders`
+(metadata via shared SQL fragments — oracle-checkable; pixel bytes via an
+Arrow-batched generator — pytest-checked against PSNR/caption invariants).
+
+Raster model (SURVEY.md §1.4): a raster is a TABLE of tiles
+(tile_x, tile_y, block binary, width, height) on a fixed world grid — the
+distributed analogue of the reference's DiskMemImage tile store
+(GT/core/DiskMemImage.java). Image footprints live on the [0,1000)^2 plane;
+rasterization burns decoded pixels into world tiles via applyInPandas
+(numpy per tile group — the only Python in the pipeline, Arrow-batched).
+
+Reference parity:
+- footprint->tile cover     <- the tile assignment contract of BASELINE.json
+- ``zonal_stats``           <- RasterZonalOperation.java:69-152 (zones
+  rasterized at value-raster resolution; per-pixel accumulate per zone)
+- ``kernel_density``        <- RasterKernelDensityOperation.java:49-295
+  (integer pixel-offset kernel, zero outside radius, scaleArea =
+  valid_cells * pixelArea / 1e6, additive stamping)
+- decode/PSNR invariants    <- BASELINE.json "decoded-pixel allclose
+  (PSNR>=40dB for lossy formats) + caption equality"
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells, planner, world
+from .world import dlit
+
+TILE_SIZE = 50.0  # world units per tile -> 20x20 tiles over the world
+PIXELS_PER_TILE = 100  # tile resolution -> 0.5 world units per pixel
+FOOT_SCALE = 0.2  # world units per image pixel in the footprint
+
+# ---------------------------------------------------------------------------
+# Image table synthesis (deterministic, from `orders`)
+# ---------------------------------------------------------------------------
+
+IMAGES_META_SQL = (
+    "SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
+    "o_orderkey AS okey, "
+    "CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w, "
+    "CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h, "
+    "'rgb8' AS fmt, "
+    "CONCAT('cap ', o_orderpriority, ' ', CAST(o_orderkey AS VARCHAR(32))) AS caption, "
+    "(o_orderkey * 2654435761) % 1000000007 AS phash, "
+    f"{world.px_sql('o_orderkey * 7 + 11')} AS fx, "
+    f"{world.py_sql('o_orderkey * 7 + 11')} AS fy "
+    "FROM orders"
+)
+
+
+def images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata + footprint origin (fx, fy) — shared SQL, no bytes."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(IMAGES_META_SQL)
+
+
+def gen_pixels(okey: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB8 pixel pattern for image ``okey`` (h, w, 3)."""
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((okey * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def with_bytes(meta: DataFrame) -> DataFrame:
+    """Attach the raw-RGB ``bytes`` column (Arrow-batched numpy generator).
+
+    fmt='rgb8' is a real raw encoding (w*h*3 uint8). Lossy formats (jpeg,
+    webp) would need codec libs absent from this container — decode_image
+    raises NotImplementedError for them, per the stubbing contract.
+    """
+    schema = T.StructType(meta.schema.fields + [T.StructField("bytes", T.BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bytes"] = [
+                gen_pixels(int(k), int(w_), int(h_)).tobytes()
+                for k, w_, h_ in zip(pdf["okey"], pdf["w"], pdf["h"])
+            ]
+            yield pdf
+
+    return meta.mapInPandas(gen, schema=schema)
+
+
+def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BASELINE.json input-shape table:
+    (image_id, bytes, w, h, fmt, caption, phash) + footprint origin."""
+    return with_bytes(images_meta(spark, sf_dir))
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode a ``bytes`` payload to an (h, w, 3) uint8 array.
+
+    rgb8 is real; compressed formats are stubbed — the Spark-side plumbing
+    (schema, batching, tile burn) is identical for any decoder."""
+    if fmt == "rgb8":
+        arr = np.frombuffer(data, dtype=np.uint8)
+        return arr.reshape(h, w, 3)
+    raise NotImplementedError(
+        f"codec '{fmt}' requires an image library not present in this "
+        "container; plug a decoder into decode_image"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical arrays)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return math.inf
+    return 10.0 * math.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# Footprint -> tile cover (the tile-assignment contract; oracle-expressible)
+# ---------------------------------------------------------------------------
+
+
+def footprint_tiles(meta: DataFrame, tile_size: float = TILE_SIZE) -> DataFrame:
+    """Explode each image footprint to the tiles it covers.
+
+    Footprint = [fx, fx + w*FOOT_SCALE) x [fy, fy + h*FOOT_SCALE); tiles are
+    a fixed grid of ``tile_size`` world units. Pure sequence/floor exprs —
+    at 10^12 images this is one narrow projection + explode, no shuffle.
+    Output: (image_id, caption, tx, ty).
+    """
+    ts = dlit(tile_size)
+    fs = dlit(FOOT_SCALE)
+    df = meta.withColumn(
+        "tx",
+        F.expr(
+            f"explode(sequence(CAST(FLOOR(fx / {ts}) AS BIGINT), "
+            f"CAST(FLOOR((fx + w * {fs}) / {ts}) AS BIGINT)))"
+        ),
+    ).withColumn(
+        "ty",
+        F.expr(
+            f"explode(sequence(CAST(FLOOR(fy / {ts}) AS BIGINT), "
+            f"CAST(FLOOR((fy + h * {fs}) / {ts}) AS BIGINT)))"
+        ),
+    )
+    return df.select("image_id", "caption", "tx", "ty")
+
+
+def footprint_tiles_oracle_sql(tile_size: float = TILE_SIZE) -> str:
+    ts, fs = dlit(tile_size), dlit(FOOT_SCALE)
+    # DuckDB: the generate_series TABLE function cannot take lateral column
+    # args; the scalar form returns a list we UNNEST. Two UNNESTs in one
+    # SELECT zip rather than cross, hence the two-level nesting.
+    return f"""
+WITH meta AS ({IMAGES_META_SQL}),
+t1 AS (SELECT image_id, caption, fy, h,
+       UNNEST(generate_series(CAST(FLOOR(fx / {ts}) AS BIGINT),
+                              CAST(FLOOR((fx + w * {fs}) / {ts}) AS BIGINT))) AS tx
+       FROM meta)
+SELECT image_id, caption, tx,
+       UNNEST(generate_series(CAST(FLOOR(fy / {ts}) AS BIGINT),
+                              CAST(FLOOR((fy + h * {fs}) / {ts}) AS BIGINT))) AS ty
+FROM t1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rasterization: burn decoded image pixels into world tiles
+# ---------------------------------------------------------------------------
+
+_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("npix", T.LongType()),
+        T.StructField("sum_lum", T.DoubleType()),
+        T.StructField("block", T.BinaryType()),
+    ]
+)
+
+
+def rasterize_tiles(images: DataFrame, tile_size: float = TILE_SIZE) -> DataFrame:
+    """Burn image luminance into the world tile grid (nearest-neighbor).
+
+    Plan: footprint->tile cover (explode, JVM) repartitions by (tx, ty), then
+    applyInPandas accumulates each tile's pixel block in numpy — the halo-free
+    raster<->vector workhorse. Output one row per non-empty tile:
+    (tx, ty, npix, sum_lum, block=float32 PIXELS_PER_TILE^2 grid).
+    """
+    ppt = PIXELS_PER_TILE
+    res = tile_size / ppt
+
+    covered = images.select(
+        "image_id", "okey", "w", "h", "fmt", "bytes", "fx", "fy"
+    )
+    ts = dlit(tile_size)
+    fs = dlit(FOOT_SCALE)
+    covered = covered.withColumn(
+        "tx",
+        F.expr(
+            f"explode(sequence(CAST(FLOOR(fx / {ts}) AS BIGINT), "
+            f"CAST(FLOOR((fx + w * {fs}) / {ts}) AS BIGINT)))"
+        ),
+    ).withColumn(
+        "ty",
+        F.expr(
+            f"explode(sequence(CAST(FLOOR(fy / {ts}) AS BIGINT), "
+            f"CAST(FLOOR((fy + h * {fs}) / {ts}) AS BIGINT)))"
+        ),
+    )
+
+    def burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        block = np.zeros((ppt, ppt), dtype=np.float64)
+        ox, oy = tx * tile_size, ty * tile_size
+        for row in pdf.itertuples():
+            img = decode_image(row.bytes, row.w, row.h, row.fmt)
+            lum = img.astype(np.float64).mean(axis=2)  # (h, w)
+            # world coords of this tile's pixel centers, mapped into image px
+            pj = np.arange(ppt) * res + ox + res / 2.0  # world x per col
+            pi = np.arange(ppt) * res + oy + res / 2.0  # world y per row
+            jx = np.floor((pj - row.fx) / FOOT_SCALE).astype(np.int64)
+            iy = np.floor((pi - row.fy) / FOOT_SCALE).astype(np.int64)
+            jmask = (jx >= 0) & (jx < row.w)
+            imask = (iy >= 0) & (iy < row.h)
+            if not jmask.any() or not imask.any():
+                continue
+            block[np.ix_(imask, jmask)] += lum[iy[imask][:, None], jx[jmask][None, :]]
+        npix = int((block > 0).sum())
+        return pd.DataFrame(
+            {
+                "tx": [tx],
+                "ty": [ty],
+                "npix": [npix],
+                "sum_lum": [float(block.sum())],
+                "block": [block.astype(np.float32).tobytes()],
+            }
+        )
+
+    return covered.groupBy("tx", "ty").applyInPandas(burn, schema=_TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Zonal statistics: synthetic value raster x rectangle zones
+# ---------------------------------------------------------------------------
+
+ZONAL_GRID = 500  # 500x500 pixels, 2 world units per pixel
+_ZPIX = (
+    "SELECT CAST(uid % 500 AS BIGINT) AS ix, CAST(FLOOR(uid / 500) AS BIGINT) AS iy, "
+    f"CAST(uid % 500 AS DOUBLE) * {dlit(2.0)} + {dlit(1.0)} AS px, "
+    f"CAST(FLOOR(uid / 500) AS BIGINT) * {dlit(2.0)} + {dlit(1.0)} AS py, "
+    "((uid % 500) * 7919 + CAST(FLOOR(uid / 500) AS BIGINT) * 104729) % 1000 AS v "
+)
+ZONAL_PIXELS_SQL_DUCK = (
+    _ZPIX + "FROM (SELECT generate_series AS uid FROM generate_series(0, 249999))"
+)
+ZONAL_PIXELS_SQL_SPARK = _ZPIX + "FROM (SELECT id AS uid FROM RANGE(250000))"
+
+
+def zonal_stats(spark: SparkSession, rects: DataFrame) -> DataFrame:
+    """Per-zone Count/Sum/Mean/Min/Max over the synthetic value raster.
+
+    Zones are rasterized implicitly: a pixel belongs to the zone containing
+    its center (the reference rasterizes zones at value-raster resolution and
+    pair-scans, RasterZonalOperation.java:119-145). Distributed shape: pixel
+    grid (spark.range, no data movement) cell-joined to broadcast zones,
+    map-side partial stats per zone. Integer pixel values keep sums exact.
+    """
+    pixels = spark.sql(ZONAL_PIXELS_SQL_SPARK)
+    p = cells.with_point_cells(
+        planner.ensure_parallelism(pixels), x="px", y="py",
+        cell_size=cells.DEFAULT_CELL_SIZE,
+    )
+    r = cells.explode_extent_cells(
+        world.rect_corners(rects), cell_size=cells.DEFAULT_CELL_SIZE
+    )
+    joined = planner.cell_join(p, r, world.rect_contains_sql("px", "py"))
+    return joined.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.expr("ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)").alias("mean_v"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
+def zonal_oracle_sql() -> str:
+    return world.with_layers(
+        f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT r.rid AS rid, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(p.v) AS BIGINT) AS sum_v,
+       ROUND(CAST(SUM(p.v) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+       CAST(MIN(p.v) AS BIGINT) AS min_v, CAST(MAX(p.v) AS BIGINT) AS max_v
+FROM rects_customer r JOIN pix p
+  ON p.px >= r.cx - r.hw AND p.px <= r.cx + r.hw
+ AND p.py >= r.cy - r.hh AND p.py <= r.cy + r.hh
+GROUP BY r.rid
+""",
+        "rects_customer",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel density raster (RasterKernelDensityOperation semantics)
+# ---------------------------------------------------------------------------
+
+KD_CELL = 5.0  # 200x200 output grid
+KD_RADIUS_PX = 4  # search radius 20 world units -> floor(20/5)=4 pixels
+
+KERNELS = {
+    # From the reference's kernel switch
+    # (RasterKernelDensityOperation.java:236-274). Even-power kernels use
+    # u2 = d2/r2 (exactly dyadic for integer offsets), so weight*kernel sums
+    # are EXACT in any partitioning order — the reference's u = sqrt(d2)/r
+    # then u*u differs only in the last ulp (semantic parity preserved).
+    # Odd-power kernels (triangular) need u = sqrt(d2)/r and are rounded.
+    "quartic": "(15.0 / 16.0) * (1.0 - u2) * (1.0 - u2)",
+    "epanechnikov": "3.0 * (1.0 - u2) / 4.0",
+    "triangular": "1.0 - u",
+    "triweight": "(35.0 / 32.0) * (1.0 - u2) * (1.0 - u2) * (1.0 - u2)",
+    "binary": "1.0",
+    "quadratic": "3.0 * (1.0 - u2) * (1.0 - u2)",
+}
+
+
+def _kd_stages(kernel: str, rpx: int) -> list[tuple[str, str]]:
+    r2 = float(rpx * rpx)
+    return [
+        ("d2", "CAST(dx * dx + dy * dy AS DOUBLE)"),
+        ("r2", dlit(r2)),
+        ("u2", "d2 / r2"),
+        ("u", f"SQRT(d2) / {dlit(float(rpx))}"),
+        ("kval", f"CASE WHEN d2 > {dlit(r2)} THEN 0.0 ELSE {KERNELS[kernel]} END"),
+    ]
+
+
+def kernel_density(
+    points: DataFrame,
+    kernel: str = "quartic",
+    cell: float = KD_CELL,
+    rpx: int = KD_RADIUS_PX,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Kernel density raster: stamp each point's kernel window additively.
+
+    Exact reference semantics: the point snaps to its grid cell, the kernel
+    is evaluated at integer pixel offsets (zero beyond the pixel radius), and
+    scaleArea = valid_kernel_cells * pixelArea / 1e6
+    (RasterKernelDensityOperation.java:88,181,206-295). The offset explode is
+    JVM-side; output (cx, cy, kd) for non-zero cells.
+    """
+    from .binning import apply_stages
+
+    n_valid = sum(
+        1
+        for dx in range(-rpx, rpx + 1)
+        for dy in range(-rpx, rpx + 1)
+        if dx * dx + dy * dy <= rpx * rpx
+    )
+    scale_area = n_valid * cell * cell / 1e6
+
+    df = planner.ensure_parallelism(points).select(
+        F.expr(f"CAST(FLOOR(x / {dlit(cell)}) AS BIGINT)").alias("pcx"),
+        F.expr(f"CAST(FLOOR(y / {dlit(cell)}) AS BIGINT)").alias("pcy"),
+        F.col(weight_col).alias("wgt"),
+    )
+    df = df.withColumn("dx", F.expr(f"explode(sequence({-rpx}, {rpx}))"))
+    df = df.withColumn("dy", F.expr(f"explode(sequence({-rpx}, {rpx}))"))
+    df = df.where(F.expr(f"dx * dx + dy * dy <= {rpx * rpx}"))
+    df = apply_stages(df, _kd_stages(kernel, rpx))
+    out = (
+        df.withColumn("cx", F.col("pcx") + F.col("dx"))
+        .withColumn("cy", F.col("pcy") + F.col("dy"))
+        .groupBy("cx", "cy")
+        # No ROUND: integer weights x dyadic kernel values (denominator 4096
+        # for the quartic) sum exactly in any order, and the final division
+        # is one deterministic IEEE op — both engines produce identical bits.
+        .agg((F.sum(F.expr("wgt * kval")) / F.lit(scale_area)).alias("kd"))
+    )
+    return out
+
+
+def kernel_density_oracle_sql(
+    points_base: str,
+    kernel: str = "quartic",
+    cell: float = KD_CELL,
+    rpx: int = KD_RADIUS_PX,
+    weight_col: str = "w",
+) -> str:
+    from .binning import stages_to_subquery
+
+    n_valid = sum(
+        1
+        for dx in range(-rpx, rpx + 1)
+        for dy in range(-rpx, rpx + 1)
+        if dx * dx + dy * dy <= rpx * rpx
+    )
+    scale_area = n_valid * cell * cell / 1e6
+    base = f"""
+SELECT CAST(FLOOR(x / {dlit(cell)}) AS BIGINT) AS pcx,
+       CAST(FLOOR(y / {dlit(cell)}) AS BIGINT) AS pcy,
+       {weight_col} AS wgt, gx.generate_series AS dx, gy.generate_series AS dy
+FROM ({points_base}),
+     generate_series({-rpx}, {rpx}) gx, generate_series({-rpx}, {rpx}) gy
+WHERE gx.generate_series * gx.generate_series
+    + gy.generate_series * gy.generate_series <= {rpx * rpx}
+"""
+    sub = stages_to_subquery(base, _kd_stages(kernel, rpx))
+    return (
+        f"SELECT pcx + dx AS cx, pcy + dy AS cy, "
+        f"SUM(wgt * kval) / {dlit(scale_area)} AS kd "
+        f"FROM {sub} GROUP BY pcx + dx, pcy + dy"
+    )

@@ -1,0 +1,85 @@
+"""Image pipeline invariants (BASELINE.json): decoded-pixel fidelity
+(PSNR >= 40 dB; exact for raw rgb8), caption equality per row through the
+pipeline, and luminance conservation through tile rasterization."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from opengxt_spark import raster
+
+
+def test_decode_roundtrip_psnr(spark, sf_dir):
+    rows = raster.images_table(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        decoded = raster.decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        expected = raster.gen_pixels(r.okey, r.w, r.h)
+        assert decoded.shape == (r.h, r.w, 3)
+        p = raster.psnr(decoded, expected)
+        assert p == math.inf  # raw codec: bit-exact, trivially >= 40 dB
+        assert np.array_equal(decoded, expected)
+
+
+def test_caption_equality_through_pipeline(spark, sf_dir):
+    """Caption must survive the footprint->tile explode row-for-row."""
+    meta = raster.images_meta(spark, sf_dir)
+    src = {r.image_id: r.caption for r in meta.collect()}
+    tiles = raster.footprint_tiles(meta).collect()
+    assert tiles
+    for t in tiles:
+        assert t.caption == src[t.image_id]
+        okey = int(t.image_id.split("_")[1])
+        assert t.caption.endswith(str(okey))
+
+
+def test_decode_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        raster.decode_image(b"\x00" * 12, 2, 2, "jpeg")
+
+
+def test_rasterize_conserves_luminance(spark, sf_dir):
+    """Every footprint lies inside the world, and the tile resolution (0.5)
+    oversamples the footprint pixels (0.2/px world size < 0.5 would
+    undersample — each tile pixel samples nearest image pixel; the sum over
+    tile pixels equals the sum over sampled image pixels). Check the global
+    tile sum against an independent numpy reference."""
+    imgs = raster.images_table(spark, sf_dir)
+    rows = imgs.collect()
+    tiles = raster.rasterize_tiles(imgs).collect()
+    got = sum(t.sum_lum for t in tiles)
+
+    ppt = raster.PIXELS_PER_TILE
+    res = raster.TILE_SIZE / ppt
+    expected = 0.0
+    for r in rows:
+        img = raster.gen_pixels(r.okey, r.w, r.h).astype(np.float64).mean(axis=2)
+        # world pixel centers covered by this footprint
+        x0, x1 = r.fx, r.fx + r.w * raster.FOOT_SCALE
+        y0, y1 = r.fy, r.fy + r.h * raster.FOOT_SCALE
+        jx = np.arange(math.floor(x0 / res), math.ceil(x1 / res) + 1)
+        iy = np.arange(math.floor(y0 / res), math.ceil(y1 / res) + 1)
+        pj = jx * res + res / 2.0
+        pi = iy * res + res / 2.0
+        sx = np.floor((pj - r.fx) / raster.FOOT_SCALE).astype(int)
+        sy = np.floor((pi - r.fy) / raster.FOOT_SCALE).astype(int)
+        # no world clip: the tile raster extends to every covered tile,
+        # including tiles past the 1000-edge for boundary footprints
+        mj = (sx >= 0) & (sx < r.w)
+        mi = (sy >= 0) & (sy < r.h)
+        if mj.any() and mi.any():
+            expected += img[np.ix_(sy[mi], sx[mj])].sum()
+    assert math.isclose(got, expected, rel_tol=1e-9)
+
+
+def test_tile_blocks_decode(spark, sf_dir):
+    tiles = raster.rasterize_tiles(raster.images_table(spark, sf_dir)).collect()
+    assert tiles
+    ppt = raster.PIXELS_PER_TILE
+    for t in tiles[:5]:
+        block = np.frombuffer(bytes(t.block), dtype=np.float32).reshape(ppt, ppt)
+        assert int((block > 0).sum()) == t.npix
+        assert math.isclose(float(block.sum()), t.sum_lum, rel_tol=1e-5)
