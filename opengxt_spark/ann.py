@@ -1,0 +1,166 @@
+"""Similarity search over the embedding column (array<float>, 64-dim).
+
+- ``cosine_topk``: brute-force exact top-k by cosine — the correctness
+  baseline. Dot/norm computed by explicit left folds over DOUBLE-cast
+  elements so Spark and DuckDB produce bit-identical similarities (same
+  fold order, same IEEE ops); ranking ties broken by vec_id.
+- ``lsh_buckets``: random-hyperplane signature buckets — the scale path.
+  Planes are deterministic pseudo-vectors (no RNG), so bucket ids are exact
+  integers in both engines. At 10^12 vectors: bucket ids are one narrow
+  projection; top-k within bucket is a bucket-keyed shuffle instead of an
+  all-pairs cross join.
+- ``cosine_neardup_pairs``: embedding-cosine near-duplicate detection —
+  same-bucket pairs above a cosine threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_PLANES = 8
+DIM = 64
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in range(1, len({a}) + 1)]), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _plane_spark(j: int) -> str:
+    """Deterministic pseudo-hyperplane j: p[i] = ((j*73 + i*179) % 21) - 10."""
+    return (
+        f"aggregate(transform(sequence(0, {DIM - 1}), "
+        f"i -> CAST(element_at(embedding, i + 1) AS DOUBLE) "
+        f"* CAST((({j} * 73 + i * 179) % 21) - 10 AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _plane_duck(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST(embedding[i + 1] AS DOUBLE) "
+        f"* CAST((({j} * 73 + i * 179) % 21) - 10 AS DOUBLE) for i in range(0, {DIM})]), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(spark: SparkSession, k: int = 5, query_mod: int = 25) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (vec_id % query_mod = 0),
+    excluding self. Output (qid, nid, cos, rnk)."""
+    dot = _dot_spark("q.embedding", "v.embedding")
+    nq = _dot_spark("q.embedding", "q.embedding")
+    nv = _dot_spark("v.embedding", "v.embedding")
+    spark.sql(f"""
+SELECT q.vec_id AS qid, v.vec_id AS nid,
+       {dot} / (SQRT({nq}) * SQRT({nv})) AS cos
+FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+WHERE q.vec_id % {query_mod} = 0
+""").createOrReplaceTempView("_cos_pairs")
+    return spark.sql(f"""
+SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM _cos_pairs
+) WHERE rnk <= {k}
+""")
+
+
+def cosine_topk_oracle(k: int = 5, query_mod: int = 25) -> str:
+    dot = _dot_duck("q.embedding", "v.embedding")
+    nq = _dot_duck("q.embedding", "q.embedding")
+    nv = _dot_duck("v.embedding", "v.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS qid, v.vec_id AS nid,
+         {dot} / (SQRT({nq}) * SQRT({nv})) AS cos
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= {k}
+"""
+
+
+def lsh_buckets(spark: SparkSession) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = (dot(v, plane_j) > 0).
+    Output (vec_id, bucket)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_spark(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return spark.sql(
+        f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+    )
+
+
+def lsh_buckets_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_duck(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST({bits} AS BIGINT) AS bucket "
+        "FROM embeddings"
+    )
+
+
+def cosine_neardup_pairs(
+    spark: SparkSession, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicates among same-LSH-bucket pairs —
+    the bucketed (scalable) variant of all-pairs cosine dedup."""
+    lsh_buckets(spark).createOrReplaceTempView("_buckets")
+    dot = _dot_spark("a.embedding", "b.embedding")
+    na = _dot_spark("a.embedding", "a.embedding")
+    nb = _dot_spark("b.embedding", "b.embedding")
+    return spark.sql(f"""
+SELECT vid_a, vid_b, cos FROM (
+  SELECT x.vec_id AS vid_a, y.vec_id AS vid_b,
+         {dot.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')}
+         / (SQRT({na.replace('a.embedding', 'ea.embedding')})
+            * SQRT({nb.replace('b.embedding', 'eb.embedding')})) AS cos
+  FROM _buckets x JOIN _buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+) WHERE cos >= {threshold!r}
+"""
+    )
+
+
+def cosine_neardup_oracle(threshold: float = 0.95) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_duck(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    dot = _dot_duck("ea.embedding", "eb.embedding")
+    na = _dot_duck("ea.embedding", "ea.embedding")
+    nb = _dot_duck("eb.embedding", "eb.embedding")
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS vid_a, y.vec_id AS vid_b,
+         {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+)
+SELECT CAST(vid_a AS BIGINT) AS vid_a, CAST(vid_b AS BIGINT) AS vid_b, cos
+FROM pairs WHERE cos >= {threshold!r}
+"""

@@ -551,3 +551,89 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rasterize_tiles"] = q_rasterize_tiles
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text analysis / ANN
+# ---------------------------------------------------------------------------
+
+from . import ann, textops  # noqa: E402
+
+_EXACT_DEDUP_ORACLE = """
+WITH twice AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM twice GROUP BY text
+"""
+
+
+@_register("dedup_exact", _EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy on the document body); input doubled with
+    shifted ids so every text has exactly one duplicate to collapse."""
+    world.register_tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    twice = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return textops.exact_dedup(twice)
+
+
+@_register("ngram_jaccard_pairs", textops.ngram_jaccard_oracle())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-3gram) Jaccard near-dup pairs, same-lang candidates."""
+    world.register_tables(spark, sf_dir)
+    return textops.ngram_jaccard_pairs(spark)
+
+
+@_register("minhash_lsh_pairs", textops.minhash_lsh_oracle())
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) signatures + LSH(4x4) banding candidate pairs."""
+    world.register_tables(spark, sf_dir)
+    return textops.minhash_lsh_pairs(spark)
+
+
+@_register("simhash_docs", textops.simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over token hashes."""
+    world.register_tables(spark, sf_dir)
+    return textops.simhash_docs(spark)
+
+
+@_register("text_profile", textops.text_profile_oracle())
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality/language analytics: token stats, stopword ratio,
+    lexicon-based language prediction."""
+    world.register_tables(spark, sf_dir)
+    return textops.text_profile(spark)
+
+
+@_register("doc_fingerprint", textops.fingerprint_oracle())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint."""
+    world.register_tables(spark, sf_dir)
+    return textops.fingerprint(spark)
+
+
+@_register("ann_cosine_topk", ann.cosine_topk_oracle())
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 20 query vectors (ANN baseline)."""
+    world.register_tables(spark, sf_dir)
+    return ann.cosine_topk(spark)
+
+
+@_register("ann_lsh_buckets", ann.lsh_buckets_oracle())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN scale path)."""
+    world.register_tables(spark, sf_dir)
+    return ann.lsh_buckets(spark)
+
+
+@_register("embedding_neardup", ann.cosine_neardup_oracle(0.35))
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.35)."""
+    world.register_tables(spark, sf_dir)
+    return ann.cosine_neardup_pairs(spark, threshold=0.35)

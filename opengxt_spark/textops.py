@@ -1,0 +1,357 @@
+"""Training-data pipeline operators: dedup, text analysis, fingerprints.
+
+These extend the engine beyond the reference's operator set (per the build
+brief): the ops a 100 TB training-data pipeline needs over a `documents`
+table. All hot paths are Spark built-in higher-order functions (JVM,
+Arrow-free); Python never touches a row.
+
+Cross-engine parity strategy: Spark SQL and DuckDB have different
+higher-order-function dialects (``transform``/``aggregate`` vs list
+comprehensions/``list_reduce``), so each op has paired fragment builders
+sharing the same constants and integer math — outputs are exact integers or
+single-division doubles, so value hashes match without rounding tricks.
+
+Scale notes (10^12 rows):
+- shingling/minhash/simhash are narrow per-row transforms (one scan);
+- LSH banding shuffles once on (band, key) — the standard shuffle-join
+  dedup topology; hot buckets split by AQE or salted like any cell join;
+- pair generation joins only within candidate buckets, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+P_MOD = 1000000007
+CHAR_MULT = 31
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+# deterministic affine hash params (a_j, b_j) for minhash
+MH_A = [2 * j + 3 for j in range(MINHASH_K)]
+MH_B = [5 * j + 7 for j in range(MINHASH_K)]
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+# --- token / shingle fragments (dialect-paired) ----------------------------
+
+
+def toks_spark(text: str = "text") -> str:
+    return f"filter(split({text}, ' '), t -> length(t) > 0)"
+
+
+def toks_duck(text: str = "text") -> str:
+    return f"list_filter(string_split({text}, ' '), t -> len(t) > 0)"
+
+
+def shingles_spark(toks: str = "toks") -> str:
+    """Distinct word-3gram shingles (1-indexed element_at). Guarded for
+    short docs: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
+    returning empty like DuckDB's range."""
+    return (
+        f"IF(size({toks}) < 3, CAST(array() AS ARRAY<STRING>), "
+        f"array_distinct(transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
+        f"' ', element_at({toks}, i + 2)))))"
+    )
+
+
+def shingles_duck(toks: str = "toks") -> str:
+    return (
+        f"list_distinct([{toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2] "
+        f"for i in range(1, greatest(len({toks}) - 2, 0) + 1)])"
+    )
+
+
+def strhash_spark(s: str) -> str:
+    """Polynomial char hash mod P — Spark dialect (left fold, exact ints)."""
+    return (
+        f"aggregate(transform(sequence(1, length({s})), i -> ascii(substr({s}, i, 1))), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {CHAR_MULT} + c) % {P_MOD})"
+    )
+
+
+def strhash_duck(s: str) -> str:
+    """Same fold in DuckDB (list_reduce has no init -> prepend 0)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr({s}, i, 1)) AS BIGINT) for i in range(1, len({s}) + 1)]), "
+        f"(acc, c) -> (acc * {CHAR_MULT} + c) % {P_MOD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
+    """Exact duplicate groups: (keeper = min doc_id, dup_cnt) per distinct
+    key. One hash shuffle; at 10^12 rows group on a 64-bit fingerprint
+    column first (``fingerprint``) so the shuffle carries 8 bytes, not the
+    document body."""
+    return docs.groupBy(key).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("dup_cnt")
+    ).select("keeper", "dup_cnt")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (candidate pairs within same lang)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, threshold: float = 0.12
+) -> DataFrame:
+    """Word-3gram Jaccard similarity over same-language candidate pairs.
+
+    jac = |S_a intersect S_b| / |S_a union S_b| as one exact division.
+    Candidates are same-lang pairs (did_a < did_b) — in production the
+    candidate generator is MinHash-LSH banding (below); this operator is the
+    exact refine step.
+    """
+    sh = spark.sql(
+        f"SELECT doc_id, lang, {shingles_spark(toks_spark())} AS sh FROM documents"
+    )
+    sh.createOrReplaceTempView("_shingles")
+    return spark.sql(f"""
+SELECT a.doc_id AS did_a, b.doc_id AS did_b,
+       size(array_intersect(a.sh, b.sh)) AS inter,
+       size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)) AS uni,
+       CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+       / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) AS jac
+FROM _shingles a JOIN _shingles b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= {threshold!r}
+""")
+
+
+def ngram_jaccard_oracle(threshold: float = 0.12) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang, {shingles_duck('toks')} AS sh
+  FROM (SELECT doc_id, lang, {toks_duck()} AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS did_a, b.doc_id AS did_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT CAST(did_a AS BIGINT) AS did_a, CAST(did_b AS BIGINT) AS did_b,
+       CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni,
+       CAST(inter AS DOUBLE) / uni AS jac
+FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= {threshold!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH band candidates
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols_spark() -> str:
+    cols = []
+    for j in range(MINHASH_K):
+        cols.append(
+            f"array_min(transform(codes, c -> ({MH_A[j]} * c + {MH_B[j]}) % {P_MOD})) AS mh{j}"
+        )
+    return ", ".join(cols)
+
+
+def _minhash_cols_duck() -> str:
+    cols = []
+    for j in range(MINHASH_K):
+        cols.append(
+            f"list_min(list_transform(codes, c -> ({MH_A[j]} * c + {MH_B[j]}) % {P_MOD})) AS mh{j}"
+        )
+    return ", ".join(cols)
+
+
+def minhash_lsh_pairs(spark: SparkSession) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidate pairs with the
+    estimated Jaccard = matching signature positions / 16.
+
+    Scale shape: signatures are a narrow projection; band explode shuffles
+    on (band, key4) so only same-bucket docs ever meet — the MinHash-LSH
+    dedup topology for 10^12 docs.
+    """
+    spark.sql(
+        f"SELECT doc_id, transform({shingles_spark(toks_spark())}, g -> {strhash_spark('g')}) AS codes "
+        "FROM documents"
+    ).createOrReplaceTempView("_codes")
+    spark.sql(
+        f"SELECT doc_id, {_minhash_cols_spark()} FROM _codes WHERE size(codes) > 0"
+    ).createOrReplaceTempView("_sigs")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM _sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    spark.sql(bands).createOrReplaceTempView("_bands")
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return spark.sql(f"""
+SELECT did_a, did_b, ({match_expr}) AS n_match,
+       CAST(({match_expr}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+FROM (
+  SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
+  FROM _bands x JOIN _bands y
+    ON x.band = y.band AND x.key4 = y.key4 AND x.doc_id < y.doc_id
+) p
+JOIN _sigs a ON a.doc_id = did_a
+JOIN _sigs b ON b.doc_id = did_b
+""")
+
+
+def minhash_lsh_oracle() -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform({shingles_duck('toks')}, g -> {strhash_duck('g')}) AS codes
+  FROM (SELECT doc_id, {toks_duck()} AS toks FROM documents)
+),
+sigs AS (SELECT doc_id, {_minhash_cols_duck()} FROM codes WHERE len(codes) > 0),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key4 = y.key4 AND x.doc_id < y.doc_id
+)
+SELECT CAST(did_a AS BIGINT) AS did_a, CAST(did_b AS BIGINT) AS did_b,
+       CAST(({match_expr}) AS INT) AS n_match,
+       CAST(({match_expr}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+FROM cand JOIN sigs a ON a.doc_id = did_a JOIN sigs b ON b.doc_id = did_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_docs(spark: SparkSession) -> DataFrame:
+    """Per-doc 16-bit SimHash over token hashes: bit i is set when the
+    count-weighted sum of (+1 / -1) for token-hash bit i is positive."""
+    spark.sql(
+        f"SELECT doc_id, {strhash_spark('tok')} AS h FROM "
+        f"(SELECT doc_id, explode({toks_spark()}) AS tok FROM documents)"
+    ).createOrReplaceTempView("_tokh")
+    bit_sum = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return spark.sql(
+        f"SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM _tokh GROUP BY doc_id"
+    )
+
+
+def simhash_oracle() -> str:
+    bit_sum = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, {strhash_duck('tok')} AS h FROM
+  (SELECT doc_id, unnest({toks_duck()}) AS tok FROM documents)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({bit_sum} AS BIGINT) AS simhash
+FROM tokh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language heuristic, quality score, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+LEXICONS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def _lex_count(lang: str, toks: str, filter_fn: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LEXICONS[lang])
+    return f"size({filter_fn}({toks}, t -> t IN ({words})))"
+
+
+def text_profile(spark: SparkSession) -> DataFrame:
+    """Per-doc text analytics: token count, mean token length, stopword
+    ratio, language-lexicon hits + argmax prediction. Exact ints + single
+    divisions -> hash-stable."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lex = {
+        lang: f"size(filter(toks, t -> t IN ({', '.join(repr(w) for w in LEXICONS[lang])})))"
+        for lang in LEXICONS
+    }
+    return spark.sql(f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       n_en, n_fr, n_de,
+       CASE WHEN n_en >= n_fr AND n_en >= n_de THEN 'en'
+            WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS pred_lang
+FROM (
+  SELECT doc_id, lang, size(toks) AS n_tokens,
+         aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) AS sum_tok_len,
+         size(filter(toks, t -> t IN ({stop}))) AS n_stop,
+         {lex['en']} AS n_en, {lex['fr']} AS n_fr, {lex['de']} AS n_de
+  FROM (SELECT doc_id, lang, {toks_spark()} AS toks FROM documents)
+) WHERE n_tokens > 0
+""")
+
+
+def text_profile_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lex = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in LEXICONS[lang])})))"
+        for lang in LEXICONS
+    }
+    return f"""
+WITH base AS (SELECT doc_id, lang, {toks_duck()} AS toks FROM documents),
+agg AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+             (acc, t) -> acc + t) AS sum_tok_len,
+         len(list_filter(toks, t -> t IN ({stop}))) AS n_stop,
+         {lex['en']} AS n_en, {lex['fr']} AS n_fr, {lex['de']} AS n_de
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       CAST(n_en AS INT) AS n_en, CAST(n_fr AS INT) AS n_fr, CAST(n_de AS INT) AS n_de,
+       CASE WHEN n_en >= n_fr AND n_en >= n_de THEN 'en'
+            WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS pred_lang
+FROM agg WHERE n_tokens > 0
+"""
+
+
+def fingerprint(spark: SparkSession) -> DataFrame:
+    """Per-doc rolling polynomial fingerprint of the full text."""
+    return spark.sql(
+        f"SELECT doc_id, {strhash_spark('text')} AS fp FROM documents"
+    )
+
+
+def fingerprint_oracle() -> str:
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {strhash_duck('text')} AS fp "
+        "FROM documents"
+    )
