@@ -1,12 +1,23 @@
 """Headline benchmark: spatial-join + tiling throughput.
 
-Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "throughput_rows_per_sec": ...}.
 
-Execution is measured end-to-end with the noop sink (full pipeline runs, no
-driver collect). Set BENCH_QUERIES=comma,list to subset.
+The driver parquet at sf0.1 (~100k events) finishes in milliseconds per
+task at 32 cores — scheduling overhead, not compute, would dominate and no
+parallelism level could show scaling. ``BENCH_SCALE`` (default 8)
+replicates every layer K times with deterministic coordinate displacement
+(preserves spatial density — replicas don't stack into the same cells, so
+join selectivity stays linear in K, not quadratic). ~800k points / 160k
+targets / 13M candidate pairs keeps 32 cores busy for seconds per query —
+the regime the 100 TB design actually lives in.
+
+Execution measured end-to-end with the noop sink; each query runs
+``BENCH_REPEAT`` (default 2) times and the minimum is reported
+(steady-state, JIT/GC warmup excluded). BENCH_QUERIES=a,b to
+subset; BENCH_SCALE=1 reproduces the raw sf tables.
 """
 
 from __future__ import annotations
@@ -18,40 +29,80 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from opengxt_spark import driver_queries  # noqa: E402
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from opengxt_spark import autocorr, binning, joins, raster, world  # noqa: E402
 from opengxt_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "pip_count_rect",
-    "pip_count_hex",
-    "neighbor_count_r15",
-    "nearest_join_r25",
-    "knn_join_k4_r50",
-    "attribute_join_agg",
-]
+K = int(os.environ.get("BENCH_SCALE", "8"))
 
 
-def run_query(spark, name, sf_dir) -> float:
-    df = driver_queries.QUERIES[name](spark, sf_dir)
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+def replicate(df: DataFrame, id_col: str, k: int = K) -> DataFrame:
+    """K deterministic displaced copies: id offset + toroidal coordinate
+    shift (golden-ratio-ish strides avoid replica alignment)."""
+    if k <= 1:
+        return df
+    out = df.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    out = out.withColumn(id_col, F.col(id_col) + F.col("_rep") * 100_000_000)
+    for c, stride in (("x", 137.497), ("y", 61.803), ("cx", 137.497), ("cy", 61.803)):
+        if c in df.columns:
+            out = out.withColumn(
+                c, (F.col(c) + F.col("_rep") * F.lit(stride)) % F.lit(1000.0)
+            )
+    return out.drop("_rep")
+
+
+def inputs(spark, sf_dir):
+    ev = replicate(world.points_events(spark, sf_dir), "pid")
+    pt = replicate(world.points_part(spark, sf_dir), "pid")
+    rc = replicate(world.rects_customer(spark, sf_dir), "rid")
+    return ev, pt, rc
+
+
+def build_queries(spark, sf_dir) -> dict[str, DataFrame]:
+    ev, pt, rc = inputs(spark, sf_dir)
+    meta = replicate(
+        raster.images_meta(spark, sf_dir).withColumnRenamed("fx", "x")
+        .withColumnRenamed("fy", "y"),
+        "okey",
+    ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy")
+    evv = ev.withColumn("v", F.expr("w % 97"))
+    return {
+        "pip_count_rect": joins.pip_count_join(ev, rc),
+        "neighbor_count_r15": joins.neighbor_count_join(ev, pt, 15.0),
+        "nearest_join_r25": joins.nearest_join(ev, pt, radius=25.0),
+        "knn_join_k4_r50": joins.knn_join(
+            ev, pt, k=4, radius=50.0, exclude_self=False, first_radius=6.0
+        ),
+        "hex_binning": binning.hex_binning(ev, binning.WORLD_BBOX, 12.0),
+        "kernel_density": raster.kernel_density(ev),
+        "image_tile_assign": raster.footprint_tiles(meta),
+        "local_g_star": autocorr.local_g(evv, 10.0),
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    names = os.environ.get("BENCH_QUERIES")
-    names = names.split(",") if names else [
-        q for q in HEADLINE if q in driver_queries.QUERIES
-    ]
     spark = get_spark("opengxt-bench")
-    # warm the JVM/codegen once with the cheapest query
-    run_query(spark, "attribute_join_agg", sf_dir)
+    qs = build_queries(spark, sf_dir)
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else list(qs)
 
-    input_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # warm the JVM/codegen with a small end-to-end job
+    joins.pip_count_join(
+        world.points_events(spark, sf_dir), world.rects_customer(spark, sf_dir)
+    ).write.format("noop").mode("overwrite").save()
+
+    n_events = world.points_events(spark, sf_dir).count() * K
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            qs[name].write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -62,8 +113,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "bench_scale": K,
+                "input_points": n_events,
                 "throughput_rows_per_sec": round(
-                    input_rows * len(timings) / total, 1
+                    n_events * len(timings) / total, 1
                 ),
             }
         )

@@ -637,3 +637,56 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.35)."""
     world.register_tables(spark, sf_dir)
     return ann.cosine_neardup_pairs(spark, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Distribution descriptors (M-dist)
+# ---------------------------------------------------------------------------
+
+from . import distribution  # noqa: E402
+
+
+@_register(
+    "mean_center_by_cat",
+    distribution.mean_center_oracle_sql(world.POINTS_EVENTS_SQL, "cat"),
+)
+def q_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanCenterProcess: (weighted) mean center per case group."""
+    return distribution.mean_center(world.points_events(spark, sf_dir), "cat")
+
+
+@_register(
+    "standard_distance",
+    distribution.sd_oracle_sql(world.POINTS_EVENTS_SQL),
+)
+def q_standard_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDProcess: standard-distance circle."""
+    return distribution.standard_distance(world.points_events(spark, sf_dir))
+
+
+@_register(
+    "std_dev_ellipse",
+    distribution.sde_oracle_sql(world.POINTS_EVENTS_SQL),
+)
+def q_sde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDEProcess: standard deviational ellipse."""
+    return distribution.std_dev_ellipse(world.points_events(spark, sf_dir))
+
+
+@_register(
+    "directional_mean",
+    distribution.directional_mean_oracle_sql(world.LINES_ORDERS_SQL),
+)
+def q_directional_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectionalMeanProcess over the synthetic segment layer."""
+    world.register_layers(spark, sf_dir)
+    return distribution.directional_mean(spark.table("lines_orders"))
+
+
+@_register(
+    "central_feature",
+    distribution.central_feature_oracle_sql(world.POINTS_PART_SQL),
+)
+def q_central_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CentralFeatureProcess on the part layer (pair aggregation argmin)."""
+    return distribution.central_feature(world.points_part(spark, sf_dir))

@@ -18,6 +18,7 @@ Reference parity map:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from . import cells, planner, world
@@ -25,7 +26,8 @@ from . import cells, planner, world
 
 def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
     return cells.explode_extent_cells(
-        world.rect_corners(polygons), cell_size=cell_size
+        world.rect_corners(planner.ensure_parallelism(polygons)),
+        cell_size=cell_size,
     )
 
 
@@ -98,6 +100,8 @@ def distance_band_join(
     right_cols=("pid", "x", "y"),
     left_extra: dict[str, str] | None = None,
     right_extra: dict[str, str] | None = None,
+    build: str = "right",
+    strategy: str | None = None,
 ) -> DataFrame:
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
@@ -122,11 +126,27 @@ def distance_band_join(
         F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry"),
         *rex.values(),
     )
-    l = cells.with_point_cells(
-        planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cs
-    )
-    r = cells.expand_extent(cells.point_extent(r, "rx", "ry"), radius)
-    r = cells.explode_extent_cells(r, cell_size=cs)
+    # ``build`` picks which side is ring-exploded and broadcast/shuffled as
+    # the join's build relation; the other side stays one-row-one-cell and
+    # probes. Default "right" (the conventional small layer); pass "left"
+    # when the left side is the tiny one (e.g. the phase-2 remainder of an
+    # adaptive search), otherwise a 44-row probe ends up scanning a
+    # million-row broadcast. Parallelism guards on both: computing a ring
+    # explode of a single-file layer in one task serializes the whole query.
+    if build == "left":
+        probe = cells.with_point_cells(
+            planner.ensure_parallelism(r), x="rx", y="ry", cell_size=cs
+        )
+        bld = planner.ensure_parallelism(l)
+        bld = cells.expand_extent(cells.point_extent(bld, "lx", "ly"), radius)
+        bld = cells.explode_extent_cells(bld, cell_size=cs)
+    else:
+        probe = cells.with_point_cells(
+            planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cs
+        )
+        bld = planner.ensure_parallelism(r)
+        bld = cells.expand_extent(cells.point_extent(bld, "rx", "ry"), radius)
+        bld = cells.explode_extent_cells(bld, cell_size=cs)
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
     # Compare squared distances built from *multiplication* (not pow): IEEE
@@ -134,7 +154,9 @@ def distance_band_join(
     # boundary decisions match bit-for-bit. sqrt is IEEE correctly-rounded
     # too, so the output distance matches exactly as well.
     d2 = dx * dx + dy * dy
-    joined = planner.cell_join(l, r, d2 <= F.lit(float(radius) * float(radius)))
+    joined = planner.cell_join(
+        probe, bld, d2 <= F.lit(float(radius) * float(radius)), strategy
+    )
     # Keep the exact squared distance for downstream ordering (nearest/kNN
     # tie-breaks must match the oracle's exact comparisons); the rounded
     # metric column is the presentation value.
@@ -156,12 +178,28 @@ def neighbor_count_join(
     return pairs.groupBy("pid_l").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _nearest_reduce(pairs: DataFrame) -> DataFrame:
+    # min(struct(d2, pid_r, ...)) orders lexicographically — exact distance
+    # first, id tie-break second — and combines map-side.
+    return (
+        pairs.groupBy("pid_l")
+        .agg(F.min(F.struct("d2", "pid_r", "dist")).alias("_b"))
+        .select(
+            "pid_l",
+            F.col("_b.pid_r").alias("pid_r"),
+            F.col("_b.d2").alias("d2"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+
+
 def nearest_join(
     left: DataFrame,
     right: DataFrame,
     radius: float,
     keep_all: bool = False,
     exclude_self: bool = False,
+    first_radius: float | None = None,
     **kw,
 ) -> DataFrame:
     """Nearest-feature join (1:1) within a search radius.
@@ -176,24 +214,38 @@ def nearest_join(
     needs iterative ring expansion; at 100 TB a radius cap (the reference's
     ``searchRadius``) keeps the candidate set O(points-per-cell).
     """
-    pairs = distance_band_join(left, right, radius, **kw)
-    if exclude_self:
-        pairs = pairs.where(F.col("pid_l") != F.col("pid_r"))
-    # min(struct(d2, pid_r, ...)) orders lexicographically — exact distance
-    # first, id tie-break second — and, unlike a window row_number, combines
-    # map-side: the shuffle carries one candidate per (partition, pid_l)
-    # instead of every pair. At 100 TB this is the difference between a
-    # top-1 sort of the full pair table and a cheap partial aggregate.
-    best = (
-        pairs.groupBy("pid_l")
-        .agg(F.min(F.struct("d2", "pid_r", "dist")).alias("_b"))
-        .select(
-            "pid_l",
-            F.col("_b.pid_r").alias("pid_r"),
-            F.col("_b.d2").alias("d2"),
-            F.col("_b.dist").alias("dist"),
+    # Two-phase adaptive radius (same trick as knn_join): a wide search
+    # radius over a dense layer yields O(n * pi r^2 * density) candidate
+    # pairs; most left rows find their nearest within a much smaller ring.
+    # Phase 1 at first_radius (default radius/8) resolves them — a nearest
+    # within r1 is the global nearest within radius, since anything outside
+    # phase 1's band is farther. Only the unresolved remainder (P ~ e^-λ)
+    # pays the full-radius candidate cost. Semantics identical.
+    r1 = first_radius if first_radius is not None else radius / 8.0
+
+    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
+        p = distance_band_join(lf, right, rad, **kw, **xkw)
+        if exclude_self:
+            p = p.where(F.col("pid_l") != F.col("pid_r"))
+        return p
+
+    if r1 <= 0 or r1 >= radius:
+        best = _nearest_reduce(_pairs(left, radius))
+    else:
+        lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+        # resolved feeds both the output union and the anti-join; persist so
+        # the phase-1 pair join executes once, not once per consumer.
+        resolved = _nearest_reduce(_pairs(left, r1)).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-    )
+        rest = left.join(
+            resolved.select("pid_l"),
+            on=F.col(lid) == F.col("pid_l"),
+            how="left_anti",
+        )
+        best = resolved.unionByName(
+            _nearest_reduce(_pairs(rest, radius, build="left", strategy="broadcast"))
+        )
     if keep_all:
         lid = kw.get("left_cols", ("pid", "x", "y"))[0]
         base = left.select(F.col(lid).alias("pid_l"))
@@ -235,8 +287,8 @@ def knn_join(
     r1 = first_radius if first_radius is not None else radius / 4.0
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
 
-    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
-        p = distance_band_join(lf, right, rad, **kw)
+    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
+        p = distance_band_join(lf, right, rad, **kw, **xkw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -244,15 +296,28 @@ def knn_join(
     if r1 <= 0 or r1 >= radius:
         return _knn_rank(_pairs(left, radius), k)
 
-    pairs1 = _pairs(left, r1)
-    cnt_w = Window.partitionBy("pid_l")
-    ranked1 = pairs1.withColumn("_n", F.count(F.lit(1)).over(cnt_w))
-    resolved = _knn_rank(ranked1.where(F.col("_n") >= k).drop("_n"), k)
-    resolved_ids = ranked1.where(F.col("_n") >= k).select("pid_l").distinct()
-    rest = left.join(
-        resolved_ids, on=F.col(lid) == F.col("pid_l"), how="left_anti"
+    # One window sort serves both rank and neighbor count (same partition +
+    # order key, count over the unbounded frame); only the tiny top-k slice
+    # is persisted — it feeds the resolved output AND the anti-join that
+    # decides who re-runs at the full radius.
+    w_ord = Window.partitionBy("pid_l").orderBy(
+        F.col("d2").asc(), F.col("pid_r").asc()
     )
-    rest_topk = _knn_rank(_pairs(rest, radius), k)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    topk1 = (
+        _pairs(left, r1)
+        .withColumn("rank", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("rank") <= k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    resolved = topk1.where(F.col("_n") >= k).drop("_n")
+    rest = left.join(
+        topk1.where(F.col("_n") >= k).select("pid_l").distinct(),
+        on=F.col(lid) == F.col("pid_l"),
+        how="left_anti",
+    )
+    rest_topk = _knn_rank(_pairs(rest, radius, build="left", strategy="broadcast"), k)
     return resolved.unionByName(rest_topk)
 
 

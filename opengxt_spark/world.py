@@ -52,25 +52,34 @@ def with_layers(sql: str, *layers: str) -> str:
     return oracle_cte(*layers) + "\n" + body
 
 
-def px_sql(id_col: str) -> str:
-    """x coordinate in [0, 1000): identical text for Spark SQL and DuckDB.
+def pxi_sql(id_col: str) -> str:
+    """Integer millicoordinate in [0, 1e6): exact-sum workhorse (ix = 1000x).
 
     The quadratic scramble term breaks the rank-1 lattice structure a pure
     multiplicative hash would produce (a Weyl lattice has a large minimum
     pair distance, which starves distance-band statistics at small n)."""
     return (
-        f"(CAST(((({id_col}) * {_KX} + ((({id_col}) * ({id_col})) % 1000003) * 7919) "
-        "% 1000000) AS DOUBLE) / 1000.0)"
+        f"((({id_col}) * {_KX} + ((({id_col}) * ({id_col})) % 1000003) * 7919) "
+        "% 1000000)"
     )
+
+
+def pyi_sql(id_col: str) -> str:
+    return (
+        f"(((({id_col}) + 7) * {_KY} "
+        f"+ (((({id_col}) + 3) * (({id_col}) + 3)) % 999983) * 104729) "
+        "% 1000000)"
+    )
+
+
+def px_sql(id_col: str) -> str:
+    """x coordinate in [0, 1000): identical text for Spark SQL and DuckDB."""
+    return f"(CAST({pxi_sql(id_col)} AS DOUBLE) / 1000.0)"
 
 
 def py_sql(id_col: str) -> str:
     """y coordinate in [0, 1000)."""
-    return (
-        f"(CAST((((({id_col}) + 7) * {_KY} "
-        f"+ (((({id_col}) + 3) * (({id_col}) + 3)) % 999983) * 104729) "
-        "% 1000000) AS DOUBLE) / 1000.0)"
-    )
+    return f"(CAST({pyi_sql(id_col)} AS DOUBLE) / 1000.0)"
 
 
 def int_weight_sql(value_col: str) -> str:
@@ -87,15 +96,30 @@ POINTS_EVENTS_SQL = (
     "SELECT event_id AS pid, "
     f"{px_sql('event_id')} AS x, "
     f"{py_sql('event_id')} AS y, "
+    f"CAST({pxi_sql('event_id')} AS BIGINT) AS ix, "
+    f"CAST({pyi_sql('event_id')} AS BIGINT) AS iy, "
     f"{int_weight_sql('value')} AS w, "
     "value AS val, event_type AS cat "
     "FROM events"
+)
+
+# Random segment layer (for directional mean / hub lines): one segment per
+# order, endpoints placed by independent scrambles.
+LINES_ORDERS_SQL = (
+    "SELECT o_orderkey AS lid, "
+    f"{px_sql('o_orderkey * 13 + 101')} AS x1, "
+    f"{py_sql('o_orderkey * 13 + 101')} AS y1, "
+    f"{px_sql('o_orderkey * 17 + 303')} AS x2, "
+    f"{py_sql('o_orderkey * 17 + 303')} AS y2 "
+    "FROM orders"
 )
 
 POINTS_PART_SQL = (
     "SELECT p_partkey AS pid, "
     f"{px_sql('p_partkey * 3 + 500001')} AS x, "
     f"{py_sql('p_partkey * 5 + 700003')} AS y, "
+    f"CAST({pxi_sql('p_partkey * 3 + 500001')} AS BIGINT) AS ix, "
+    f"CAST({pyi_sql('p_partkey * 5 + 700003')} AS BIGINT) AS iy, "
     "p_retailprice AS val "
     "FROM part"
 )
@@ -124,6 +148,7 @@ LAYER_SQL = {
     "points_part": POINTS_PART_SQL,
     "rects_customer": RECTS_CUSTOMER_SQL,
     "hex_supplier": HEX_SUPPLIER_SQL,
+    "lines_orders": LINES_ORDERS_SQL,
 }
 
 TABLES = (
