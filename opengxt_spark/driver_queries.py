@@ -690,3 +690,155 @@ def q_directional_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_central_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CentralFeatureProcess on the part layer (pair aggregation argmin)."""
     return distribution.central_feature(world.points_part(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Transformers (M3): buffer / clip / affine / dedup / collect / union-area
+# ---------------------------------------------------------------------------
+
+from . import transforms  # noqa: E402
+
+_BUFFER_ORACLE = world.with_layers(
+    """
+SELECT pid, x AS cx, y AS cy,
+       CAST(w % 10 + 2 AS DOUBLE) AS radius,
+       CAST(w % 10 + 2 AS DOUBLE) AS buf_dist,
+       ROUND(CAST(3.141592653589793 AS DOUBLE) * CAST(w % 10 + 2 AS DOUBLE)
+             * CAST(w % 10 + 2 AS DOUBLE), 6) AS buf_area
+FROM points_events
+""",
+    "points_events",
+)
+
+
+@_register("buffer_points_expr", _BUFFER_ORACLE)
+def q_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BufferExpressionProcess: expression-distance point buffers."""
+    return transforms.buffer_points(world.points_events(spark, sf_dir))
+
+
+_CLIP_ORACLE = world.with_layers(
+    """
+SELECT pid, x, y FROM points_events
+WHERE x >= 200.0 AND x <= 700.0 AND y >= 100.0 AND y <= 600.0
+""",
+    "points_events",
+)
+
+
+@_register("clip_points_rect", _CLIP_ORACLE)
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClipWithGeometryProcess (rect fast path)."""
+    pts = world.points_events(spark, sf_dir)
+    return transforms.clip_points(pts, 200.0, 100.0, 700.0, 600.0).select(
+        "pid", "x", "y"
+    )
+
+
+_AFFINE_ORACLE = world.with_layers(
+    """
+SELECT rid, cx * CAST(1.5 AS DOUBLE) + CAST(10.0 AS DOUBLE) AS cx,
+       cy * CAST(1.5 AS DOUBLE) + CAST(-5.0 AS DOUBLE) AS cy,
+       hw * CAST(1.5 AS DOUBLE) AS hw, hh * CAST(1.5 AS DOUBLE) AS hh
+FROM rects_customer
+""",
+    "rects_customer",
+)
+
+
+@_register("affine_rects", _AFFINE_ORACLE)
+def q_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset+Scale FeaturesProcess (parametric affine)."""
+    return transforms.affine_rects(
+        world.rects_customer(spark, sf_dir), dx=10.0, dy=-5.0, scale=1.5
+    )
+
+
+_AREA_ORACLE = world.with_layers(
+    """
+SELECT rid, (hw * 2) * (hh * 2) AS area, ((hw * 2) + (hh * 2)) * 2 AS perimeter
+FROM rects_customer
+""",
+    "rects_customer",
+)
+
+
+@_register("calc_area_perimeter", _AREA_ORACLE)
+def q_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalculateAreaProcess: area + perimeter columns."""
+    return transforms.calculate_area_perimeter(world.rects_customer(spark, sf_dir))
+
+
+_DEDUP_GEOM_ORACLE = world.with_layers(
+    """
+SELECT ix, iy, CAST(MIN(pid) AS BIGINT) AS pid, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM points_events GROUP BY ix, iy
+""",
+    "points_events",
+)
+
+
+@_register("delete_duplicates", _DEDUP_GEOM_ORACLE)
+def q_delete_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteDuplicatesProcess on exact geometry."""
+    return transforms.delete_duplicates(world.points_events(spark, sf_dir))
+
+
+_COLLECT_ORACLE = world.with_layers(
+    """
+SELECT CAST(FLOOR(x / CAST(5.0 AS DOUBLE)) AS BIGINT) AS sx,
+       CAST(FLOOR(y / CAST(5.0 AS DOUBLE)) AS BIGINT) AS sy,
+       CAST(COUNT(*) AS BIGINT) AS xcount
+FROM points_events GROUP BY 1, 2
+""",
+    "points_events",
+)
+
+
+@_register("collect_events", _COLLECT_ORACLE)
+def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectEventsProcess: coincident-point merge (snap tolerance 5)."""
+    return transforms.collect_events(world.points_events(spark, sf_dir))
+
+
+_UNION_AREA_ORACLE = world.with_layers(
+    """
+WITH pix AS (
+  SELECT gx, gy, gx * CAST(2.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS x,
+         gy * CAST(2.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS y
+  FROM (SELECT CAST(generate_series % 500 AS BIGINT) AS gx,
+               CAST(FLOOR(generate_series / 500) AS BIGINT) AS gy
+        FROM generate_series(0, 249999))
+),
+cov AS (
+  SELECT DISTINCT p.gx, p.gy FROM pix p JOIN rects_customer r
+    ON p.x >= r.cx - r.hw AND p.x <= r.cx + r.hw
+   AND p.y >= r.cy - r.hh AND p.y <= r.cy + r.hh
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       ROUND(COUNT(*) * CAST(4.0 AS DOUBLE), 6) AS union_area
+FROM cov
+""",
+    "rects_customer",
+)
+
+
+@_register("union_area_raster", _UNION_AREA_ORACLE)
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnionPolygonProcess area via pixel-grid rasterization."""
+    return transforms.union_area_raster(
+        spark, world.rects_customer(spark, sf_dir), grid=500
+    )
+
+
+def q_generic_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic vertex-polygon PIP (numpy ray-cast refine) — rows-only gate;
+    equality with the closed-form path is asserted in pytest."""
+    from . import geomlib
+
+    pts = world.points_events(spark, sf_dir)
+    polys = geomlib.rects_to_polygons(world.rects_customer(spark, sf_dir))
+    return geomlib.generic_pip_count(pts, polys)
+
+
+QUERIES["generic_pip_raycast"] = q_generic_pip

@@ -1,0 +1,204 @@
+"""Generic vectorized geometry kernel (numpy) — the non-parametric path.
+
+The synthetic world's rects/hexes have closed-form predicates that stay in
+the JVM (world.py); real deployments also need arbitrary polygons. This
+module stores polygons as coordinate arrays (xs: array<double>,
+ys: array<double>, closed implicitly) and implements the geometry kernels
+in numpy for use inside Arrow-batched pandas UDFs — the role Shapely 2.x
+plays in SURVEY.md §7.0 (not installed in this container).
+
+Kernels: ray-casting point-in-polygon, shoelace area, centroid, convex hull
+(Andrew monotone chain), Douglas-Peucker simplification, bbox. The
+distributed shape is identical to the parametric path: cell-cover explode
+on bbox (JVM) -> cell join -> refine via ``pip_refine_udf`` (Arrow batch).
+
+Reference parity: ray-cast refine <- the exact-predicate stage of
+GXTSimpleFeatureCollection.java:73-76; shoelace <- AreaCalculation
+FeatureCollection.java:43; DP-simplify <- SimplifyFeatureCollection.java:42;
+hull <- ConvexHullFeatureCollection.java:44.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def point_in_polygon(px: float, py: float, xs: np.ndarray, ys: np.ndarray) -> bool:
+    """Ray casting (crossing number), boundary-inclusive on horizontal rule."""
+    inside = False
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        if (ys[i] > py) != (ys[j] > py):
+            xint = (xs[j] - xs[i]) * (py - ys[i]) / (ys[j] - ys[i]) + xs[i]
+            if px < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Vectorized ray casting: many points vs one polygon."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        yi, yj = ys[i], ys[j]
+        cond = (yi > py) != (yj > py)
+        if cond.any():
+            xint = (xs[j] - xs[i]) * (py[cond] - yi) / (yj - yi) + xs[i]
+            flip = np.zeros(len(px), dtype=bool)
+            flip[cond] = px[cond] < xint
+            inside ^= flip
+        j = i
+    return inside
+
+
+def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    return 0.5 * abs(float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))))
+
+
+def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    """Polygon centroid (area-weighted)."""
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    cross = xs * y1 - x1 * ys
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(xs.mean()), float(ys.mean())
+    cx = float(((xs + x1) * cross).sum() / (6.0 * a))
+    cy = float(((ys + y1) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def convex_hull(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Andrew monotone chain; returns hull vertices CCW."""
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull[:, 0], hull[:, 1]
+
+
+def douglas_peucker(
+    xs: np.ndarray, ys: np.ndarray, tol: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Iterative Douglas-Peucker polyline simplification."""
+    n = len(xs)
+    if n < 3:
+        return xs, ys
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        dx, dy = xs[e] - xs[s], ys[e] - ys[s]
+        seg = np.hypot(dx, dy)
+        if seg == 0:
+            d = np.hypot(xs[s + 1 : e] - xs[s], ys[s + 1 : e] - ys[s])
+        else:
+            d = np.abs(
+                dy * xs[s + 1 : e] - dx * ys[s + 1 : e] + xs[e] * ys[s] - ys[e] * xs[s]
+            ) / seg
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = s + 1 + imax
+            keep[k] = True
+            stack += [(s, k), (k, e)]
+    return xs[keep], ys[keep]
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: generic polygon layer + PIP refine UDF
+# ---------------------------------------------------------------------------
+
+POLY_SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def rects_to_polygons(rects: DataFrame) -> DataFrame:
+    """Convert the parametric rect layer to explicit vertex polygons —
+    the bridge used by tests to prove the generic path agrees with the
+    closed-form path."""
+    return rects.select(
+        "rid",
+        F.expr("array(cx - hw, cx + hw, cx + hw, cx - hw)").alias("xs"),
+        F.expr("array(cy - hh, cy - hh, cy + hh, cy + hh)").alias("ys"),
+        F.expr("cx - hw").alias("xmin"),
+        F.expr("cx + hw").alias("xmax"),
+        F.expr("cy - hh").alias("ymin"),
+        F.expr("cy + hh").alias("ymax"),
+    )
+
+
+def generic_pip_count(
+    points: DataFrame, polygons: DataFrame, cell_size: float = 25.0
+) -> DataFrame:
+    """Point-in-polygon count against ARBITRARY vertex polygons.
+
+    Same plan as joins.pip_count_join but the refine stage is an
+    Arrow-batched ray-cast over the candidate pairs (grouped per polygon so
+    the inner loop is vectorized over that polygon's candidate points).
+    """
+    from . import cells, planner
+
+    p = cells.with_point_cells(
+        planner.ensure_parallelism(points.select("pid", "x", "y")),
+        cell_size=cell_size,
+    )
+    g = cells.explode_extent_cells(polygons, cell_size=cell_size)
+    cand = p.join(F.broadcast(g), on=["cell_x", "cell_y"], how="inner").where(
+        "x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax"
+    )
+
+    out_schema = T.StructType(
+        [T.StructField("rid", T.LongType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts: dict[int, int] = {}
+            for rid, grp in pdf.groupby("rid"):
+                xs = np.asarray(grp["xs"].iloc[0], dtype=np.float64)
+                ys = np.asarray(grp["ys"].iloc[0], dtype=np.float64)
+                inside = points_in_polygon(
+                    grp["x"].to_numpy(), grp["y"].to_numpy(), xs, ys
+                )
+                counts[rid] = counts.get(rid, 0) + int(inside.sum())
+            yield pd.DataFrame(
+                {"rid": list(counts), "cnt": list(counts.values())}
+            )
+
+    partial = cand.mapInPandas(refine, schema=out_schema)
+    return partial.groupBy("rid").agg(F.sum("cnt").cast("long").alias("cnt"))
