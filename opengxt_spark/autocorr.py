@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import joins
 from .joins import distance_band_join, nearest_join
 from .world import dlit
 
@@ -199,33 +200,38 @@ def _int_moments(points: DataFrame, v: str = "v") -> DataFrame:
     )
 
 
-def _band_pairs(points: DataFrame, band: float, v: str = "v") -> DataFrame:
-    """Ordered neighbor pairs within the distance band, carrying both values.
-    Includes the self pair (d2=0); callers filter per selfNeighbors policy."""
-    return distance_band_join(
-        points,
-        points,
-        band,
-        left_extra={"vi": v},
-        right_extra={"vj": v},
+def _band_istats(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Per-point in-band neighbor stats INCLUDING the self pair:
+    (pid, v, cnt_s, sum_s). Built on the two-level interior-cell/boundary
+    decomposition (joins.band_stats_join) instead of a materialized pair
+    table — every global/local autocorrelation statistic with binary band
+    weights only needs per-i neighbor count and value sum, and integer sums
+    make the decomposition bit-identical to the pair formulation."""
+    st = joins.band_stats_join(points, points, band, value_col=v,
+                               left_keep={"v": v})
+    return st.select(
+        F.col("pid_l").alias("pid"), "v",
+        F.col("cnt").alias("cnt_s"), F.col("sum_v").alias("sum_s"),
     )
 
 
 def global_morans_i(points: DataFrame, band: float, v: str = "v") -> DataFrame:
     """Global Moran's I with binary fixed-distance-band weights, no row
     standardization, selfNeighbors=false. One-row result:
-    (moran_i, expected_i, z_var, z_score, p_value) rounded to 1e-6."""
-    pairs = _band_pairs(points, band, v).where(F.col("pid_l") != F.col("pid_r"))
-    pagg = pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.expr("vi * vj")).cast("long").alias("p11"),
-        F.sum("vi").cast("long").alias("pl"),
-        F.sum("vj").cast("long").alias("pr"),
+    (moran_i, expected_i, z_var, z_score, p_value) rounded to 1e-6.
+
+    Pair sums reduce to per-i stats: sum_ij vi*vj = sum_i vi*(sum_s_i - vi),
+    W = sum_i (cnt_s_i - 1), etc. — all exact integer arithmetic.
+    """
+    ist = _band_istats(points, band, v)
+    pagg = ist.agg(
+        F.sum(F.expr("cnt_s - 1")).cast("long").alias("n_pairs"),
+        F.sum(F.expr("v * (sum_s - v)")).cast("long").alias("p11"),
+        F.sum(F.expr("v * (cnt_s - 1)")).cast("long").alias("pl"),
+        F.sum(F.expr("sum_s - v")).cast("long").alias("pr"),
     )
-    degs = (
-        pairs.groupBy("pid_l")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .agg(F.sum(F.expr("deg * deg")).cast("long").alias("sumdeg2"))
+    degs = ist.agg(
+        F.sum(F.expr("(cnt_s - 1) * (cnt_s - 1)")).cast("long").alias("sumdeg2")
     )
     row = _int_moments(points, v).crossJoin(pagg).crossJoin(degs)
     out = apply_scalar_stages(row, GLOBAL_MORAN_STAGES)
@@ -241,14 +247,11 @@ def global_morans_i(points: DataFrame, band: float, v: str = "v") -> DataFrame:
 def local_morans_i(points: DataFrame, band: float, v: str = "v") -> DataFrame:
     """Anselin Local Moran's I (LISA) per feature with >=1 neighbor:
     (pid, lmi_index, lmi_z, lmi_p, co_type)."""
-    pairs = _band_pairs(points, band, v).where(F.col("pid_l") != F.col("pid_r"))
-    per_i = pairs.groupBy("pid_l", "vi").agg(
-        F.count(F.lit(1)).alias("deg"),
-        F.sum("vj").cast("long").alias("nbr_sum"),
-    )
-    per_i = per_i.select(
-        F.col("pid_l").alias("pid"), F.col("vi").alias("v"), "deg", "nbr_sum"
-    )
+    per_i = _band_istats(points, band, v).select(
+        "pid", "v",
+        F.expr("CAST(cnt_s - 1 AS BIGINT)").alias("deg"),
+        F.expr("CAST(sum_s - v AS BIGINT)").alias("nbr_sum"),
+    ).where(F.col("deg") >= 1)
     row = per_i.crossJoin(F.broadcast(_int_moments(points, v)))
     out = apply_scalar_stages(row, LOCAL_MORAN_STAGES)
     return out.select(
@@ -263,13 +266,9 @@ def local_morans_i(points: DataFrame, band: float, v: str = "v") -> DataFrame:
 def local_g(points: DataFrame, band: float, v: str = "v") -> DataFrame:
     """Getis-Ord Gi* per feature (selfNeighbors=true):
     (pid, gi_z, gi_p, gi_mean, gi_var)."""
-    pairs = _band_pairs(points, band, v)  # keep self pair
-    per_i = pairs.groupBy("pid_l", "vi").agg(
-        F.count(F.lit(1)).alias("deg_s"),
-        F.sum("vj").cast("long").alias("loc_sum"),
-    )
-    per_i = per_i.select(
-        F.col("pid_l").alias("pid"), F.col("vi").alias("v"), "deg_s", "loc_sum"
+    per_i = _band_istats(points, band, v).select(  # self pair kept
+        "pid", "v",
+        F.col("cnt_s").alias("deg_s"), F.col("sum_s").alias("loc_sum"),
     )
     row = per_i.crossJoin(F.broadcast(_int_moments(points, v)))
     out = apply_scalar_stages(row, LOCAL_G_STAGES)

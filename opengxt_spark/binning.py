@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import planner
 from .world import dlit
 
 BBox = tuple[float, float, float, float]  # minx, miny, maxx, maxy
@@ -89,7 +90,10 @@ def rect_binning(
 ) -> DataFrame:
     """Sum of weight per rectangular grid cell; empty cells dropped
     (onlyValidGrid=true). Output (col, row, val)."""
-    df = apply_stages(points, rect_bin_stages(bbox, columns, rows, x, y))
+    df = apply_stages(
+        planner.ensure_parallelism(points),
+        rect_bin_stages(bbox, columns, rows, x, y),
+    )
     df = df.where(
         (F.col("col") >= 0)
         & (F.col("row") >= 0)
@@ -220,7 +224,7 @@ def hex_binning(
     out-of-range points dropped (HexagonalBinningVisitor.java:144-146).
     """
     spec = hex_grid_spec(bbox, size)
-    df = apply_stages(points, hex_bin_stages(spec, x, y))
+    df = apply_stages(planner.ensure_parallelism(points), hex_bin_stages(spec, x, y))
     df = df.where(
         (F.col("col") >= 0)
         & (F.col("row") >= 0)

@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 from . import cells, planner, world
 
 
+# Intermediates persisted by two-phase joins (phase-1 results feed both the
+# output union and the anti-join). Spark's CacheManager holds them until
+# explicitly unpersisted, so long sessions running many queries should call
+# release_scratch() between queries to keep executor storage flat.
+_SCRATCH: list[DataFrame] = []
+
+
+def _persist_scratch(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCRATCH.append(df)
+    return df
+
+
+def release_scratch() -> None:
+    """Unpersist all two-phase join intermediates (non-blocking)."""
+    for df in _SCRATCH:
+        df.unpersist(False)
+    _SCRATCH.clear()
+
+
 def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
     return cells.explode_extent_cells(
         world.rect_corners(planner.ensure_parallelism(polygons)),
@@ -106,14 +126,17 @@ def distance_band_join(
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
     Plan: the *right* side (conventionally the smaller layer — the build
-    side) is ring-expanded: each right point's bbox grows by the radius and
-    explodes to its covering cells (the k-ring expansion of SURVEY.md §4.2).
-    The *left* side stays one-row-one-cell and is the probe, so the big layer
-    is never duplicated and per-left aggregations (counts, nearest, kNN)
-    combine map-side. Cell size defaults to the radius (3x3 candidate ring).
+    side) is ring-expanded: each right point's radius-circle explodes to the
+    cells it overlaps (corner cells of the bbox cover pruned closed-form —
+    cells.explode_circle_cells). The *left* side stays one-row-one-cell and
+    is the probe, so the big layer is never duplicated and per-left
+    aggregations (counts, nearest, kNN) combine map-side. Cell size defaults
+    to radius/2: the finer grid cuts candidate over-fetch from 9r^2 to
+    ~3.3r^2 of the true pi*r^2 at the price of ~3.3x build duplication —
+    the join-output scan, not the build shuffle, dominates at scale.
     Output: (pid_l, pid_r, d2 exact, dist rounded 1e-6).
     """
-    cs = float(cell_size or max(radius, 1e-6))
+    cs = float(cell_size or max(radius / 2.0, 1e-6))
     lid, lx, ly = left_cols
     rid_, rx, ry = right_cols
     lex = {k: F.col(v).alias(k) for k, v in (left_extra or {}).items()}
@@ -137,16 +160,18 @@ def distance_band_join(
         probe = cells.with_point_cells(
             planner.ensure_parallelism(r), x="rx", y="ry", cell_size=cs
         )
-        bld = planner.ensure_parallelism(l)
-        bld = cells.expand_extent(cells.point_extent(bld, "lx", "ly"), radius)
-        bld = cells.explode_extent_cells(bld, cell_size=cs)
+        bld = cells.explode_circle_cells(
+            planner.ensure_parallelism(l), x="lx", y="ly", radius=radius,
+            cell_size=cs,
+        )
     else:
         probe = cells.with_point_cells(
             planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cs
         )
-        bld = planner.ensure_parallelism(r)
-        bld = cells.expand_extent(cells.point_extent(bld, "rx", "ry"), radius)
-        bld = cells.explode_extent_cells(bld, cell_size=cs)
+        bld = cells.explode_circle_cells(
+            planner.ensure_parallelism(r), x="rx", y="ry", radius=radius,
+            cell_size=cs,
+        )
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
     # Compare squared distances built from *multiplication* (not pow): IEEE
@@ -174,8 +199,181 @@ def neighbor_count_join(
 ) -> DataFrame:
     """NearestNeighborCount: per left point, count of right points within
     radius (GT/operations/NearestNeighborCountOperation.java:71-82)."""
-    pairs = distance_band_join(left, right, radius, **kw)
-    return pairs.groupBy("pid_l").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = band_stats_join(left, right, radius, **kw)
+    return stats.select("pid_l", "cnt")
+
+
+def band_stats_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    value_col: str | None = None,
+    cell_ratio: float = 3.0,
+    left_cols=("pid", "x", "y"),
+    right_cols=("pid", "x", "y"),
+    left_keep: dict[str, str] | None = None,
+    strategy: str | None = None,
+    tile_size: float | None = None,
+) -> DataFrame:
+    """Per left point: (cnt, sum_v) of right points within ``radius``.
+
+    The scale architecture for every *aggregating* band query (neighbor
+    counts, Gi*, local/global Moran partials): instead of materializing the
+    O(n * pi r^2 * density) candidate-pair table, decompose each point's
+    disc into **interior cells** — cells wholly inside the radius, whose
+    pre-aggregated (count, sum) rows carry the mass of all their points in
+    one row — and **boundary cells**, the only ones joined point-level and
+    distance-refined. Per-point joined rows drop from ~pi r^2 rho to
+    ~(#cells + perimeter-band rho): the interior term scales with r^2 but
+    carries whole cells, the exact work scales with the r^1 boundary. All
+    sums are integers, so the decomposed totals are bit-identical to the
+    pair-table formulation in any partitioning/order.
+
+    Output: (pid_l, cnt, sum_v[ if value_col]) — only left points with at
+    least one in-band right point appear (pair-table semantics).
+
+    Physical strategies (``strategy``):
+    - ``"broadcast"`` — right points + right cell-aggregates broadcast; the
+      cover stays narrow and per-i partials combine map-side. Best when the
+      right layer fits an executor (the driver build is a serial constant).
+    - ``"tiled"`` — **ghost-halo co-partitioning**, the 1000-executor path:
+      repartition left once by spatial tile; halo-duplicate right points to
+      every tile whose r-expansion contains them (~(1+2r/T)^2 copies); both
+      sides are then hash-partitioned on (tile_x, tile_y) with the same
+      partition count, so the per-(tile, cell) joins and the per-i partial
+      aggregation run with ZERO further exchange — total network cost is
+      |L| + ~1.5|R| rows regardless of radius or density, and scaling is
+      linear in partitions. Correctness of halo truncation: an interior
+      cell lies wholly inside a left disc ⊆ tile±r, so its per-tile
+      aggregate is complete; a cell straddling the halo edge can never be
+      interior, and boundary matches beyond the halo are > r away and
+      would be refined out anyway.
+    - ``None`` — broadcast when the right side row-probe says it fits,
+      else tiled.
+    """
+    cs = float(max(radius / cell_ratio, 1e-6))
+    r2 = float(radius) * float(radius)
+    lid, lx, ly = left_cols
+    rid_, rx, ry = right_cols
+
+    rsel = [F.col(rx).alias("rx"), F.col(ry).alias("ry")]
+    if value_col:
+        rsel.append(F.col(value_col).alias("rv"))
+    r = planner.ensure_parallelism(right.select(*rsel))
+    r = cells.with_point_cells(r, x="rx", y="ry", cell_size=cs)
+    cell_aggs = [F.count(F.lit(1)).alias("c_cnt")]
+    point_aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col:
+        cell_aggs.append(F.sum("rv").cast("long").alias("c_sum"))
+        point_aggs.append(F.sum("rv").cast("long").alias("sum_v"))
+    rcells = r.groupBy("cell_x", "cell_y").agg(*cell_aggs)
+
+    keeps = {k: F.col(src).alias(k) for k, src in (left_keep or {}).items()}
+    l = planner.ensure_parallelism(
+        left.select(F.col(lid).alias("pid_l"), F.col(lx).alias("lx"),
+                    F.col(ly).alias("ly"), *keeps.values())
+    )
+    gkeys = ["pid_l", *keeps]
+
+    if strategy is None:
+        strategy = (
+            "broadcast"
+            if planner.choose_strategy(r).strategy == "broadcast"
+            else "tiled"
+        )
+
+    join_keys = ["cell_x", "cell_y"]
+    if strategy == "tiled":
+        rad = float(radius)
+        T = float(tile_size or cs * max(1, round(8.0 * rad / cs)))
+        nparts = int(l.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+        def tile(c, coord):
+            return F.floor(F.col(coord) / F.lit(T)).cast("long").alias(c)
+
+        # The tile repartitions below already provide full parallelism, so
+        # the ensure_parallelism round-robin above is the only redundant
+        # exchange; acceptable (cheap, removed by reuse at scale).
+        l = l.select("*", tile("tile_x", "lx"), tile("tile_y", "ly"))
+        l = l.repartition(nparts, "tile_x", "tile_y")
+        r = r.withColumn(
+            "tile_x",
+            F.explode(F.sequence(
+                F.floor((F.col("rx") - rad) / F.lit(T)).cast("long"),
+                F.floor((F.col("rx") + rad) / F.lit(T)).cast("long"),
+            )),
+        ).withColumn(
+            "tile_y",
+            F.explode(F.sequence(
+                F.floor((F.col("ry") - rad) / F.lit(T)).cast("long"),
+                F.floor((F.col("ry") + rad) / F.lit(T)).cast("long"),
+            )),
+        )
+        r = r.repartition(nparts, "tile_x", "tile_y")
+        # Per-tile cell aggregates: r is already hash(tile), which satisfies
+        # the grouping's ClusteredDistribution(tile, cell) — no exchange.
+        rcells = r.groupBy("tile_x", "tile_y", "cell_x", "cell_y").agg(*cell_aggs)
+        join_keys = ["tile_x", "tile_y", "cell_x", "cell_y"]
+
+    cover = l.withColumn(
+        "cell_x",
+        F.explode(F.sequence(cells.cell_of(F.col("lx") - radius, cs),
+                             cells.cell_of(F.col("lx") + radius, cs))),
+    ).withColumn(
+        "cell_y",
+        F.explode(F.sequence(cells.cell_of(F.col("ly") - radius, cs),
+                             cells.cell_of(F.col("ly") + radius, cs))),
+    )
+    px, py = F.col("lx"), F.col("ly")
+    ndx = F.greatest(F.col("cell_x") * cs - px, px - (F.col("cell_x") + 1) * cs,
+                     F.lit(0.0))
+    ndy = F.greatest(F.col("cell_y") * cs - py, py - (F.col("cell_y") + 1) * cs,
+                     F.lit(0.0))
+    fdx = F.greatest(px - F.col("cell_x") * cs, (F.col("cell_x") + 1) * cs - px)
+    fdy = F.greatest(py - F.col("cell_y") * cs, (F.col("cell_y") + 1) * cs - py)
+    cover = (
+        cover.withColumn("_dmin2", ndx * ndx + ndy * ndy)
+        .withColumn("_dmax2", fdx * fdx + fdy * fdy)
+        .where(F.col("_dmin2") <= F.lit(r2))
+    )
+
+    # The cover explode (O(cells-per-disc) per left row) is NARROW — its
+    # rows live in the left partition that produced them, so the per-i
+    # partial aggregation combines map-side to ~one row per (pid, partition)
+    # and only tiny partials shuffle. That holds because the right-side
+    # tables come to the cover either as broadcasts or (tiled) already
+    # co-partitioned on tile — the cover itself is never shuffled.
+    bc = strategy == "broadcast"
+    # Tiled: force shuffled-hash — the planner's size estimate for the
+    # cover ignores the explode multiplier and would otherwise broadcast a
+    # multi-10^7-row Generate output. Both sides are already hash(tile), so
+    # with subset co-partitioning accepted (session config) the SHJ adds no
+    # exchange: it builds a per-partition table from the halo'd right side.
+    rc_b = F.broadcast(rcells) if bc else rcells.hint("SHUFFLE_HASH")
+    r_b = F.broadcast(r) if bc else r.hint("SHUFFLE_HASH")
+    interior = (
+        cover.where(F.col("_dmax2") <= F.lit(r2))
+        .join(rc_b, on=join_keys, how="inner")
+        .groupBy(*gkeys)
+        .agg(F.sum("c_cnt").alias("cnt"),
+             *([F.sum("c_sum").alias("sum_v")] if value_col else []))
+    )
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    d2 = dx * dx + dy * dy
+    boundary = (
+        cover.where(F.col("_dmax2") > F.lit(r2))
+        .join(r_b, on=join_keys, how="inner")
+        .where(d2 <= F.lit(r2))
+        .groupBy(*gkeys)
+        .agg(*point_aggs)
+    )
+    return (
+        interior.unionByName(boundary)
+        .groupBy(*gkeys)
+        .agg(F.sum("cnt").cast("long").alias("cnt"),
+             *([F.sum("sum_v").cast("long").alias("sum_v")] if value_col else []))
+    )
 
 
 def _nearest_reduce(pairs: DataFrame) -> DataFrame:
@@ -235,9 +433,7 @@ def nearest_join(
         lid = kw.get("left_cols", ("pid", "x", "y"))[0]
         # resolved feeds both the output union and the anti-join; persist so
         # the phase-1 pair join executes once, not once per consumer.
-        resolved = _nearest_reduce(_pairs(left, r1)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        resolved = _persist_scratch(_nearest_reduce(_pairs(left, r1)))
         rest = left.join(
             resolved.select("pid_l"),
             on=F.col(lid) == F.col("pid_l"),
@@ -309,8 +505,8 @@ def knn_join(
         .withColumn("rank", F.row_number().over(w_ord))
         .withColumn("_n", F.count(F.lit(1)).over(w_all))
         .where(F.col("rank") <= k)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    topk1 = _persist_scratch(topk1)
     resolved = topk1.where(F.col("_n") >= k).drop("_n")
     rest = left.join(
         topk1.where(F.col("_n") >= k).select("pid_l").distinct(),

@@ -136,7 +136,7 @@ def footprint_tiles(meta: DataFrame, tile_size: float = TILE_SIZE) -> DataFrame:
     """
     ts = dlit(tile_size)
     fs = dlit(FOOT_SCALE)
-    df = meta.withColumn(
+    df = planner.ensure_parallelism(meta).withColumn(
         "tx",
         F.expr(
             f"explode(sequence(CAST(FLOOR(fx / {ts}) AS BIGINT), "
@@ -196,8 +196,8 @@ def rasterize_tiles(images: DataFrame, tile_size: float = TILE_SIZE) -> DataFram
     ppt = PIXELS_PER_TILE
     res = tile_size / ppt
 
-    covered = images.select(
-        "image_id", "okey", "w", "h", "fmt", "bytes", "fx", "fy"
+    covered = planner.ensure_parallelism(
+        images.select("image_id", "okey", "w", "h", "fmt", "bytes", "fx", "fy")
     )
     ts = dlit(tile_size)
     fs = dlit(FOOT_SCALE)

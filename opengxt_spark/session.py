@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Cell joins are many-to-many on bounded key groups: shuffled-hash
+        # avoids sorting both sides (the sort of a 10^8-row candidate build
+        # side dominates SMJ); AQE still falls back / splits skewed keys.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Tiled (ghost-halo) joins co-partition both sides by tile and join
+        # on (tile, cell): accepting subset-key co-partitioning lets the
+        # join and grouping run with zero additional exchange.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        .config("spark.sql.requireAllClusterKeysForDistribution", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # pre-size the heap: growth from a small -Xms causes repeated full
         # GCs during the first large join and wild first-run variance
