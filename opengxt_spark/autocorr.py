@@ -168,6 +168,83 @@ LOCAL_G_STAGES: list[tuple[str, str]] = [
     ("gi_p", zprob_both_sql("gi_z")),
 ]
 
+# Geary's C with binary band weights (GlobalGearysCOperation.java, SURVEY
+# §2.6). Inputs: moments (n, s, s2) + pair reductions (n_pairs = W,
+# sumdeg2, diff2 = sum_ij (xi - xj)^2). Normality-assumption variance with
+# binary symmetric weights: S1 = 2W, S2 = 4 * sum(deg^2).
+GEARY_STAGES: list[tuple[str, str]] = [
+    ("nD", "CAST(n AS DOUBLE)"),
+    ("mu", "CAST(s AS DOUBLE) / nD"),
+    ("ssd", "CAST(s2 AS DOUBLE) - 2.0 * mu * CAST(s AS DOUBLE) + nD * mu * mu"),
+    ("w0", "CAST(n_pairs AS DOUBLE)"),
+    ("geary_c", "(nD - 1.0) * CAST(diff2 AS DOUBLE) / (2.0 * w0 * ssd)"),
+    ("s1t", "2.0 * w0"),
+    ("s2t", "4.0 * CAST(sumdeg2 AS DOUBLE)"),
+    (
+        "c_var",
+        "((2.0 * s1t + s2t) * (nD - 1.0) - 4.0 * w0 * w0) / "
+        "(2.0 * (nD + 1.0) * w0 * w0)",
+    ),
+    ("geary_z", "(geary_c - 1.0) / SQRT(c_var)"),
+    ("geary_p", zprob_both_sql("geary_z")),
+]
+
+# Getis-Ord General G (GlobalGStatisticOperation.java:56-135; Getis & Ord
+# 1992 moment formulas). Same istats reductions + raw moments m1..m4.
+GENERAL_G_STAGES: list[tuple[str, str]] = [
+    ("nD", "CAST(n AS DOUBLE)"),
+    ("m1", "CAST(s AS DOUBLE)"),
+    ("m2", "CAST(s2 AS DOUBLE)"),
+    ("m3", "CAST(s3 AS DOUBLE)"),
+    ("m4", "CAST(s4 AS DOUBLE)"),
+    ("w0", "CAST(n_pairs AS DOUBLE)"),
+    ("s1t", "2.0 * w0"),
+    ("s2t", "4.0 * CAST(sumdeg2 AS DOUBLE)"),
+    ("g_obs", "CAST(p11 AS DOUBLE) / (m1 * m1 - m2)"),
+    ("g_exp", "w0 / (nD * (nD - 1.0))"),
+    ("b0", "(nD * nD - 3.0 * nD + 3.0) * s1t - nD * s2t + 3.0 * w0 * w0"),
+    ("b1", "-1.0 * ((nD * nD - nD) * s1t - 2.0 * nD * s2t + 6.0 * w0 * w0)"),
+    ("b2c", "-1.0 * (2.0 * nD * s1t - (nD + 3.0) * s2t + 6.0 * w0 * w0)"),
+    ("b3", "4.0 * (nD - 1.0) * s1t - 2.0 * (nD + 1.0) * s2t + 8.0 * w0 * w0"),
+    ("b4", "s1t - s2t + w0 * w0"),
+    (
+        "eg2",
+        "(b0 * m2 * m2 + b1 * m4 + b2c * m1 * m1 * m2 + b3 * m1 * m3 "
+        "+ b4 * m1 * m1 * m1 * m1) / "
+        "((m1 * m1 - m2) * (m1 * m1 - m2) * nD * (nD - 1.0) * (nD - 2.0) "
+        "* (nD - 3.0))",
+    ),
+    ("g_var", "eg2 - g_exp * g_exp"),
+    ("g_z", "(g_obs - g_exp) / SQRT(g_var)"),
+    ("g_p", zprob_both_sql("g_z")),
+]
+
+# Join-count statistics for a binary field (JoinCountStatisticsOperation
+# .java:43, SURVEY §2.6). Observed BB/WW/BW unordered join counts vs their
+# free-sampling expectations; z for BB under the free-sampling variance.
+# Inputs: n, nb (black count), jj = W/2 unordered joins, kk =
+# sum(deg*(deg-1))/2, bb2/ww2/bw2 = ordered pair counts.
+JOIN_COUNT_STAGES: list[tuple[str, str]] = [
+    ("nD", "CAST(n AS DOUBLE)"),
+    ("pb", "CAST(nb AS DOUBLE) / nD"),
+    ("pw", "1.0 - pb"),
+    ("jD", "CAST(jj AS DOUBLE)"),
+    ("kD", "CAST(kk AS DOUBLE)"),
+    ("bb_obs", "CAST(bb2 AS DOUBLE) / 2.0"),
+    ("ww_obs", "CAST(ww2 AS DOUBLE) / 2.0"),
+    ("bw_obs", "CAST(bw2 AS DOUBLE) / 2.0"),
+    ("bb_exp", "jD * pb * pb"),
+    ("ww_exp", "jD * pw * pw"),
+    ("bw_exp", "2.0 * jD * pb * pw"),
+    (
+        "bb_var",
+        "jD * pb * pb + 2.0 * kD * pb * pb * pb "
+        "- (jD + 2.0 * kD) * pb * pb * pb * pb",
+    ),
+    ("bb_z", "(bb_obs - bb_exp) / SQRT(bb_var)"),
+    ("bb_p", zprob_both_sql("bb_z")),
+]
+
 NNI_STAGES: list[tuple[str, str]] = [
     ("nD", "CAST(n AS DOUBLE)"),
     ("obs_mean", "CAST(dist_sum_u AS DOUBLE) / 1000000.0 / nD"),
@@ -278,6 +355,86 @@ def local_g(points: DataFrame, band: float, v: str = "v") -> DataFrame:
         F.round("gi_p", 6).alias("gi_p"),
         F.round("gi_mean", 6).alias("gi_mean"),
         F.round("gi_var", 6).alias("gi_var"),
+    )
+
+
+def global_gearys_c(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Global Geary's C, binary band weights, selfNeighbors=false.
+    One row: (geary_c, c_var, geary_z, geary_p) rounded to 1e-6.
+
+    sum_ij (xi-xj)^2 reduces to per-i integer stats:
+    sum_i [(cnt-1)*v^2 - 2*v*(sum - v) + (sumsq - v^2)].
+    """
+    st = joins.band_stats_join(points, points, band, value_col=v,
+                               left_keep={"v": v}, with_sq=True)
+    pagg = st.agg(
+        F.sum(F.expr("cnt - 1")).cast("long").alias("n_pairs"),
+        F.sum(F.expr("(cnt - 1) * (cnt - 1)")).cast("long").alias("sumdeg2"),
+        F.sum(F.expr(
+            "(cnt - 1) * v * v - 2 * v * (sum_v - v) + (sum_sq - v * v)"
+        )).cast("long").alias("diff2"),
+    )
+    row = _int_moments(points, v).crossJoin(pagg)
+    out = apply_scalar_stages(row, GEARY_STAGES)
+    return out.select(
+        F.round("geary_c", 6).alias("geary_c"),
+        F.round("c_var", 6).alias("c_var"),
+        F.round("geary_z", 6).alias("geary_z"),
+        F.round("geary_p", 6).alias("geary_p"),
+    )
+
+
+def global_g(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Getis-Ord General G (high/low clustering), binary band weights.
+    One row: (g_obs, g_exp, g_z, g_p); g values scaled by 1e6 before
+    rounding (G is O(1/n^2) tiny)."""
+    ist = _band_istats(points, band, v)
+    pagg = ist.agg(
+        F.sum(F.expr("cnt_s - 1")).cast("long").alias("n_pairs"),
+        F.sum(F.expr("(cnt_s - 1) * (cnt_s - 1)")).cast("long").alias("sumdeg2"),
+        F.sum(F.expr("v * (sum_s - v)")).cast("long").alias("p11"),
+    )
+    row = _int_moments(points, v).crossJoin(pagg)
+    out = apply_scalar_stages(row, GENERAL_G_STAGES)
+    return out.select(
+        F.round(F.expr("g_obs * 1000000.0"), 6).alias("g_obs_e6"),
+        F.round(F.expr("g_exp * 1000000.0"), 6).alias("g_exp_e6"),
+        F.round("g_z", 6).alias("g_z"),
+        F.round("g_p", 6).alias("g_p"),
+    )
+
+
+def join_count_stats(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Join-count statistics for the binary indicator b = v % 2 over the
+    band-contiguity graph. One row: observed/expected BB, WW, BW unordered
+    join counts + z/p for BB under free sampling."""
+    b = points.withColumn("_b", F.expr(f"CAST(({v}) % 2 AS BIGINT)"))
+    st = joins.band_stats_join(b, b, band, value_col="_b",
+                               left_keep={"b": "_b"})
+    pagg = st.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b").cast("long").alias("nb"),
+        (F.sum(F.expr("cnt - 1")).cast("long") / F.lit(2)).cast("long")
+        .alias("jj"),
+        (F.sum(F.expr("(cnt - 1) * (cnt - 2)")).cast("long") / F.lit(2))
+        .cast("long").alias("kk"),
+        F.sum(F.expr("b * (sum_v - b)")).cast("long").alias("bb2"),
+        F.sum(F.expr("(1 - b) * ((cnt - 1) - (sum_v - b))")).cast("long")
+        .alias("ww2"),
+        F.sum(F.expr(
+            "b * ((cnt - 1) - (sum_v - b)) + (1 - b) * (sum_v - b)"
+        )).cast("long").alias("bw2"),
+    )
+    out = apply_scalar_stages(pagg, JOIN_COUNT_STAGES)
+    return out.select(
+        F.round("bb_obs", 1).alias("bb_obs"),
+        F.round("ww_obs", 1).alias("ww_obs"),
+        F.round("bw_obs", 1).alias("bw_obs"),
+        F.round("bb_exp", 6).alias("bb_exp"),
+        F.round("ww_exp", 6).alias("ww_exp"),
+        F.round("bw_exp", 6).alias("bw_exp"),
+        F.round("bb_z", 6).alias("bb_z"),
+        F.round("bb_p", 6).alias("bb_p"),
     )
 
 

@@ -357,3 +357,89 @@ def hexagon_grid_oracle_sql(bbox: BBox, size: float) -> str:
         f"{dlit(spec.size)} AS size "
         f"FROM (SELECT generate_series AS uid FROM generate_series(0, {spec.rows * spec.columns - 1}))"
     )
+
+
+def triangular_grid(spark, bbox: BBox, size: float) -> DataFrame:
+    """Triangular grid over the extent — TriangularGridOperation.java:48.
+
+    Each square cell of ``size`` splits into an up- and a down-triangle;
+    output (uid, tri, x0, y0) with tri in {0, 1} and (x0, y0) the cell's
+    lower-left corner. spark.range generator — no data movement.
+    """
+    minx, miny, maxx, maxy = bbox
+    cols = int(math.ceil((maxx - minx) / size))
+    rows = int(math.ceil((maxy - miny) / size))
+    n = cols * rows * 2
+    df = spark.range(n).withColumnRenamed("id", "uid")
+    return df.select(
+        "uid",
+        (F.col("uid") % 2).cast("int").alias("tri"),
+        F.round(
+            F.lit(minx)
+            + (F.floor(F.col("uid") / 2) % cols).cast("double") * F.lit(size),
+            6,
+        ).alias("x0"),
+        F.round(
+            F.lit(miny)
+            + F.floor(F.floor(F.col("uid") / 2) / cols).cast("double")
+            * F.lit(size),
+            6,
+        ).alias("y0"),
+    )
+
+
+def triangular_grid_oracle(bbox: BBox, size: float) -> str:
+    minx, miny, maxx, maxy = bbox
+    cols = int(math.ceil((maxx - minx) / size))
+    rows = int(math.ceil((maxy - miny) / size))
+    n = cols * rows * 2
+    return f"""
+SELECT uid, CAST(uid % 2 AS INT) AS tri,
+       ROUND({dlit(minx)} + CAST(CAST(FLOOR(uid / 2) AS BIGINT) % {cols} AS DOUBLE)
+             * {dlit(size)}, 6) AS x0,
+       ROUND({dlit(miny)} + CAST(FLOOR(CAST(FLOOR(uid / 2) AS BIGINT) / {cols})
+             AS DOUBLE) * {dlit(size)}, 6) AS y0
+FROM (SELECT generate_series AS uid FROM generate_series(0, {n - 1}))
+"""
+
+
+def circular_grid(spark, bbox: BBox, radius: float) -> DataFrame:
+    """Circle-cell grid over the extent — CircularGridOperation.java:53.
+    Output (uid, cx, cy, r): circle centers on a 2r lattice."""
+    minx, miny, maxx, maxy = bbox
+    step = 2.0 * radius
+    cols = int(math.ceil((maxx - minx) / step))
+    rows = int(math.ceil((maxy - miny) / step))
+    n = cols * rows
+    df = spark.range(n).withColumnRenamed("id", "uid")
+    return df.select(
+        "uid",
+        F.round(
+            F.lit(minx + radius)
+            + (F.col("uid") % cols).cast("double") * F.lit(step),
+            6,
+        ).alias("cx"),
+        F.round(
+            F.lit(miny + radius)
+            + F.floor(F.col("uid") / cols).cast("double") * F.lit(step),
+            6,
+        ).alias("cy"),
+        F.lit(float(radius)).alias("r"),
+    )
+
+
+def circular_grid_oracle(bbox: BBox, radius: float) -> str:
+    minx, miny, maxx, maxy = bbox
+    step = 2.0 * radius
+    cols = int(math.ceil((maxx - minx) / step))
+    rows = int(math.ceil((maxy - miny) / step))
+    n = cols * rows
+    return f"""
+SELECT uid,
+       ROUND({dlit(minx + radius)} + CAST(uid % {cols} AS DOUBLE)
+             * {dlit(step)}, 6) AS cx,
+       ROUND({dlit(miny + radius)} + CAST(FLOOR(uid / {cols}) AS DOUBLE)
+             * {dlit(step)}, 6) AS cy,
+       {dlit(float(radius))} AS r
+FROM (SELECT generate_series AS uid FROM generate_series(0, {n - 1}))
+"""

@@ -1,0 +1,295 @@
+"""Numeric-field classifiers and k-means clustering.
+
+Reference parity map (paths relative to /root/reference,
+GT = GeoTools/process-spatialstatistics/src/main/java/org/geotools/process/
+spatialstatistics):
+- ``classify_quantile``       <- GT/clsssifier/QuantileClassify.java:37
+                                 (equal-count classes -> ntile window)
+- ``classify_equal_interval`` <- GT/clsssifier/EqualIntervalClassify.java:35
+                                 (fixed-width classes from global min/max)
+- ``classify_std_dev``        <- GT/clsssifier/StandardDeviationClassify.java:39
+                                 (classes at mean +- k*sigma boundaries)
+- ``kmeans_xy``               <- GT/pattern/KMeansClusterOperation.java:50,
+                                 KMeansCluster.java:40 (Lloyd iterations on
+                                 centroids; here with deterministic fixed
+                                 init + fixed iteration count so both
+                                 engines converge to identical assignments)
+
+Classification is a narrow projection after one tiny global aggregate
+(min/max or moments) — at 100 TB: one partial-agg pass + one map pass,
+broadcast of the 1-row stats, zero extra shuffle. K-means iterations are
+k-row aggregates re-broadcast each round: per iteration one scan + one
+k-row shuffle, the canonical Spark Lloyd shape.
+
+Cross-engine determinism: stats and centers are computed from the integer
+millicoordinates (ix, iy) and integer weights, so every SUM is exact in any
+order; distances divide exact integers by constants (IEEE-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import planner, world
+from .world import dlit
+
+
+def classify_quantile(
+    points: DataFrame, n_classes: int, value_col: str = "val"
+) -> DataFrame:
+    """Equal-count classes via ntile ordered by (value, pid) — the pid
+    tie-break makes the class assignment deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col("pid").asc())
+    return planner.ensure_parallelism(points).select(
+        "pid",
+        F.round(value_col, 6).alias("v"),
+        F.ntile(n_classes).over(w).alias("cls"),
+    )
+
+
+def classify_quantile_oracle(n_classes: int) -> str:
+    return world.with_layers(
+        f"""
+SELECT pid, ROUND(val, 6) AS v,
+       NTILE({n_classes}) OVER (ORDER BY val ASC, pid ASC) AS cls
+FROM points_events
+""",
+        "points_events",
+    )
+
+
+def classify_equal_interval(
+    points: DataFrame, n_classes: int, value_col: str = "w"
+) -> DataFrame:
+    """Fixed-width classes over [min, max]; the max value lands in the top
+    class (LEAST clamp), matching EqualIntervalClassify's closed top bin.
+    Integer field -> exact boundaries in both engines."""
+    n = int(n_classes)
+    stats = points.agg(
+        F.min(value_col).cast("long").alias("vmin"),
+        F.max(value_col).cast("long").alias("vmax"),
+    )
+    df = planner.ensure_parallelism(points).crossJoin(F.broadcast(stats))
+    width = (F.col("vmax") - F.col("vmin")).cast("double") / F.lit(float(n))
+    cls = F.least(
+        F.floor((F.col(value_col) - F.col("vmin")).cast("double") / width)
+        .cast("long"),
+        F.lit(n - 1),
+    )
+    return df.select("pid", F.col(value_col).alias("v"), cls.alias("cls"))
+
+
+def classify_equal_interval_oracle(n_classes: int) -> str:
+    n = int(n_classes)
+    return world.with_layers(
+        f"""
+SELECT p.pid AS pid, p.w AS v,
+       LEAST(CAST(FLOOR(CAST(p.w - s.vmin AS DOUBLE)
+             / (CAST(s.vmax - s.vmin AS DOUBLE) / {dlit(float(n))}))
+             AS BIGINT), {n - 1}) AS cls
+FROM points_events p CROSS JOIN (
+  SELECT CAST(MIN(w) AS BIGINT) AS vmin, CAST(MAX(w) AS BIGINT) AS vmax
+  FROM points_events
+) s
+""",
+        "points_events",
+    )
+
+
+def classify_std_dev(points: DataFrame, value_col: str = "w") -> DataFrame:
+    """Five classes at mean ± {0.5, 1.5} sigma boundaries (population sigma).
+
+    mean and sigma come from exact integer sums (n, s, s2); the class CASE
+    uses the identical expression text in both engines.
+    """
+    stats = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).cast("long").alias("s"),
+        F.sum(F.expr(f"{value_col} * {value_col}")).cast("long").alias("s2"),
+    )
+    df = planner.ensure_parallelism(points).crossJoin(F.broadcast(stats))
+    df = df.withColumn(
+        "mu", F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+    ).withColumn(
+        "sigma",
+        F.expr(
+            "SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - "
+            "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+        ),
+    )
+    z = F.expr(f"({value_col} - mu) / sigma")
+    cls = (
+        F.when(z < -1.5, 0)
+        .when(z < -0.5, 1)
+        .when(z < 0.5, 2)
+        .when(z < 1.5, 3)
+        .otherwise(4)
+    )
+    return df.select("pid", F.col(value_col).alias("v"), cls.alias("cls"))
+
+
+def classify_std_dev_oracle() -> str:
+    return world.with_layers(
+        """
+SELECT pid, v, CASE WHEN z < -1.5 THEN 0 WHEN z < -0.5 THEN 1
+                    WHEN z < 0.5 THEN 2 WHEN z < 1.5 THEN 3 ELSE 4 END AS cls
+FROM (
+  SELECT p.pid AS pid, p.w AS v,
+         (p.w - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+         / SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                - (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+                * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z
+  FROM points_events p CROSS JOIN (
+    SELECT COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS s,
+           CAST(SUM(w * w) AS BIGINT) AS s2
+    FROM points_events
+  ) s
+)
+""",
+        "points_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (Lloyd, fixed init, fixed iterations)
+# ---------------------------------------------------------------------------
+
+# Fixed initial centers in millicoordinate units (the [0,1e6)^2 plane).
+KMEANS_INIT = [
+    (250_000.0, 250_000.0),
+    (750_000.0, 250_000.0),
+    (250_000.0, 750_000.0),
+    (750_000.0, 750_000.0),
+]
+KMEANS_ITERS = 3
+
+
+def _assign_expr(centers: list[tuple[float, float]]):
+    """argmin over centers of squared millicoord distance, SQL text shared
+    with the oracle. Ties broken by lowest center id (strict < comparison
+    in ascending id order)."""
+    terms = []
+    for cid, (cx, cy) in enumerate(centers):
+        d2 = (
+            f"(CAST(ix AS DOUBLE) - {dlit(cx)}) * "
+            f"(CAST(ix AS DOUBLE) - {dlit(cx)}) + "
+            f"(CAST(iy AS DOUBLE) - {dlit(cy)}) * "
+            f"(CAST(iy AS DOUBLE) - {dlit(cy)})"
+        )
+        terms.append((cid, d2))
+    best_d = terms[0][1]
+    # fold: cls = argmin; build nested CASE comparing each candidate to the
+    # running best (deterministic: earlier id wins ties via <)
+    expr = f"CAST({terms[0][0]} AS INT)"
+    for cid, d2 in terms[1:]:
+        expr = f"CASE WHEN ({d2}) < ({best_d}) THEN {cid} ELSE {expr} END"
+        best_d = f"LEAST({d2}, {best_d})"
+    return expr
+
+
+def kmeans_xy(points: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4) on integer millicoordinates.
+
+    Each iteration: assign (narrow CASE projection) -> per-cluster exact
+    integer sums (tiny shuffle of k partials) -> collect the 4 new centers
+    into literals for the next assignment expression. The collected centers
+    are exact rationals (integer sum / count) evaluated identically in
+    DuckDB's oracle, so final assignments match row-for-row. Returns
+    (cls, n, cx, cy) — cluster sizes and final centers.
+    """
+    pts = planner.ensure_parallelism(points).select("pid", "ix", "iy")
+    centers = list(KMEANS_INIT)
+    for _ in range(int(iters)):
+        assigned = pts.withColumn("cls", F.expr(_assign_expr(centers)))
+        rows = (
+            assigned.groupBy("cls")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("ix").cast("long").alias("sx"),
+                F.sum("iy").cast("long").alias("sy"),
+            )
+            .collect()
+        )
+        new_centers = list(centers)
+        for r in rows:
+            new_centers[r["cls"]] = (r["sx"] / r["n"], r["sy"] / r["n"])
+        centers = new_centers
+    assigned = pts.withColumn("cls", F.expr(_assign_expr(centers)))
+    return (
+        assigned.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("ix") / F.count(F.lit(1)) / 1000.0, 6).alias("cx"),
+            F.round(F.sum("iy") / F.count(F.lit(1)) / 1000.0, 6).alias("cy"),
+        )
+        .orderBy("cls")
+    )
+
+
+def kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
+    """Linear CTE-chain transcription of the same fixed-iteration Lloyd run:
+    a{t} = assignments at iteration t, c{t} = per-cluster integer sums.
+    Center lookups are uncorrelated scalar subqueries on the named CTE, so
+    the SQL text grows linearly in iterations and DuckDB materializes each
+    stage once. Assumes no cluster goes empty (uniform synthetic world with
+    quadrant init; holds at every test sf). The assignment CASE text is the
+    same fold as the Spark side, so boundary decisions match bit-for-bit."""
+    k = len(KMEANS_INIT)
+    ctes = []
+    centers_sql = [(dlit(cx), dlit(cy)) for cx, cy in KMEANS_INIT]
+    src = "points_events"
+    for t in range(int(iters)):
+        assign = _assign_expr_sqlpairs(centers_sql)
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference — the 8
+        # scalar center lookups per assignment would re-execute the whole
+        # previous iteration (exponential work, fd exhaustion on the
+        # parquet view).
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT pid, ix, iy, {assign} AS cls "
+            f"FROM {src})"
+        )
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT cls, COUNT(*) AS n, "
+            f"CAST(SUM(ix) AS BIGINT) AS sx, CAST(SUM(iy) AS BIGINT) AS sy "
+            f"FROM a{t} GROUP BY cls)"
+        )
+        centers_sql = [
+            (
+                f"(SELECT CAST(sx AS DOUBLE) / n FROM c{t} WHERE cls = {cid})",
+                f"(SELECT CAST(sy AS DOUBLE) / n FROM c{t} WHERE cls = {cid})",
+            )
+            for cid in range(k)
+        ]
+        src = f"a{t}"
+    final_assign = _assign_expr_sqlpairs(centers_sql)
+    body = (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(ix) AS DOUBLE) / COUNT(*) / 1000.0, 6) AS cx,
+       ROUND(CAST(SUM(iy) AS DOUBLE) / COUNT(*) / 1000.0, 6) AS cy
+FROM (SELECT pid, ix, iy, {final_assign} AS cls FROM {src})
+GROUP BY cls ORDER BY cls
+"""
+    )
+    return world.with_layers(body, "points_events")
+
+
+def _assign_expr_sqlpairs(centers: list[tuple[str, str]]) -> str:
+    """Same argmin fold as _assign_expr but over SQL-text center coords."""
+    terms = []
+    for cid, (cx, cy) in enumerate(centers):
+        d2 = (
+            f"(CAST(ix AS DOUBLE) - {cx}) * (CAST(ix AS DOUBLE) - {cx}) + "
+            f"(CAST(iy AS DOUBLE) - {cy}) * (CAST(iy AS DOUBLE) - {cy})"
+        )
+        terms.append((cid, d2))
+    best_d = terms[0][1]
+    expr = f"CAST({terms[0][0]} AS INT)"
+    for cid, d2 in terms[1:]:
+        expr = f"CASE WHEN ({d2}) < ({best_d}) THEN {cid} ELSE {expr} END"
+        best_d = f"LEAST({d2}, {best_d})"
+    return expr

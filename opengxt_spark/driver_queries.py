@@ -842,3 +842,477 @@ def q_generic_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["generic_pip_raycast"] = q_generic_pip
+
+
+# ---------------------------------------------------------------------------
+# Overlay + line operators (overlay.py)
+# ---------------------------------------------------------------------------
+
+from . import overlay  # noqa: E402
+
+
+@_register("intersect_rects", overlay.intersect_rects_oracle())
+def q_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectProcess overlay A∩B on two rect layers (cell-ownership dedup)."""
+    return overlay.intersect_rects(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+@_register("sum_line_length", overlay.sum_line_length_oracle())
+def q_sum_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SumLineLengthProcess: clipped segment length per polygon (Liang-Barsky)."""
+    return overlay.sum_line_length(
+        world.load_layer(spark, sf_dir, "lines_orders"),
+        world.rects_customer(spark, sf_dir),
+    )
+
+
+@_register("line_intersections", overlay.line_intersections_oracle())
+def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectionPointsProcess: crossings of two segment layers."""
+    return overlay.line_intersections(
+        world.load_layer(spark, sf_dir, "lines_orders"),
+        world.load_layer(spark, sf_dir, "lines_part"),
+    )
+
+
+@_register("snap_points_to_lines", overlay.snap_points_oracle(30.0))
+def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapPointsToLinesProcess: nearest segment within tolerance 30."""
+    return overlay.snap_points_to_lines(
+        world.points_part(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "lines_orders"),
+        tolerance=30.0,
+    )
+
+
+@_register("points_along_lines", overlay.points_along_lines_oracle(40.0))
+def q_points_along_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointsAlongLinesProcess: stations every 40 units along segments."""
+    return overlay.points_along_lines(
+        world.load_layer(spark, sf_dir, "lines_orders"), spacing=40.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifiers + k-means (classify.py)
+# ---------------------------------------------------------------------------
+
+from . import classify  # noqa: E402
+
+
+@_register("classify_quantile", classify.classify_quantile_oracle(7))
+def q_classify_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileClassify: 7 equal-count classes of events.val."""
+    return classify.classify_quantile(
+        world.points_events(spark, sf_dir), n_classes=7
+    )
+
+
+@_register("classify_equal_interval", classify.classify_equal_interval_oracle(8))
+def q_classify_equal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualIntervalClassify: 8 fixed-width classes of events.w."""
+    return classify.classify_equal_interval(
+        world.points_events(spark, sf_dir), n_classes=8
+    )
+
+
+@_register("classify_std_dev", classify.classify_std_dev_oracle())
+def q_classify_std_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardDeviationClassify: 5 classes at mean±{0.5,1.5}σ."""
+    return classify.classify_std_dev(world.points_events(spark, sf_dir))
+
+
+@_register("kmeans_xy", classify.kmeans_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeansClusteringProcess: deterministic Lloyd (k=4, 3 iterations)."""
+    return classify.kmeans_xy(world.points_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Additional global autocorrelation statistics
+# ---------------------------------------------------------------------------
+
+
+def _geary_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg", autocorr.GEARY_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+nself AS (SELECT * FROM pairs WHERE pid_l <> pid_r),
+{_AC_MOMENTS_CTE},
+pagg AS (SELECT COUNT(*) AS n_pairs,
+         CAST(SUM((vi - vj) * (vi - vj)) AS BIGINT) AS diff2,
+         (SELECT CAST(SUM(deg * deg) AS BIGINT) FROM
+          (SELECT pid_l, COUNT(*) AS deg FROM nself GROUP BY pid_l))
+           AS sumdeg2
+         FROM nself)
+SELECT ROUND(geary_c, 6) AS geary_c, ROUND(c_var, 6) AS c_var,
+       ROUND(geary_z, 6) AS geary_z, ROUND(geary_p, 6) AS geary_p
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_gearys_c", _geary_oracle())
+def q_global_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalGearysCProcess: binary band weights, band=10."""
+    return autocorr.global_gearys_c(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def _general_g_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg", autocorr.GENERAL_G_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+nself AS (SELECT * FROM pairs WHERE pid_l <> pid_r),
+{_AC_MOMENTS_CTE},
+pagg AS (SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(vi * vj) AS BIGINT) AS p11,
+         (SELECT CAST(SUM(deg * deg) AS BIGINT) FROM
+          (SELECT pid_l, COUNT(*) AS deg FROM nself GROUP BY pid_l))
+           AS sumdeg2
+         FROM nself)
+SELECT ROUND(g_obs * 1000000.0, 6) AS g_obs_e6,
+       ROUND(g_exp * 1000000.0, 6) AS g_exp_e6,
+       ROUND(g_z, 6) AS g_z, ROUND(g_p, 6) AS g_p
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_general_g", _general_g_oracle())
+def q_global_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalGStatisticsProcess (Getis-Ord General G), band=10."""
+    return autocorr.global_g(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def _join_count_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM pagg", autocorr.JOIN_COUNT_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH bpts AS (SELECT pid, x, y, CAST((w % 97) % 2 AS BIGINT) AS b
+              FROM points_events),
+ist AS (SELECT l.pid, l.b, COUNT(*) AS cnt, CAST(SUM(r.b) AS BIGINT) AS sum_v
+        FROM bpts l JOIN bpts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid, l.b),
+pagg AS (SELECT COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS nb,
+         CAST(CAST(SUM(cnt - 1) AS BIGINT) / 2 AS BIGINT) AS jj,
+         CAST(CAST(SUM((cnt - 1) * (cnt - 2)) AS BIGINT) / 2 AS BIGINT) AS kk,
+         CAST(SUM(b * (sum_v - b)) AS BIGINT) AS bb2,
+         CAST(SUM((1 - b) * ((cnt - 1) - (sum_v - b))) AS BIGINT) AS ww2,
+         CAST(SUM(b * ((cnt - 1) - (sum_v - b))
+              + (1 - b) * (sum_v - b)) AS BIGINT) AS bw2
+         FROM ist)
+SELECT ROUND(bb_obs, 1) AS bb_obs, ROUND(ww_obs, 1) AS ww_obs,
+       ROUND(bw_obs, 1) AS bw_obs, ROUND(bb_exp, 6) AS bb_exp,
+       ROUND(ww_exp, 6) AS ww_exp, ROUND(bw_exp, 6) AS bw_exp,
+       ROUND(bb_z, 6) AS bb_z, ROUND(bb_p, 6) AS bb_p
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("join_count_stats", _join_count_oracle())
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinCountStatisticsProcess: BB/WW/BW join counts, band=10."""
+    return autocorr.join_count_stats(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+# ---------------------------------------------------------------------------
+# Raster map algebra / focal / sampling + extra grid generators
+# ---------------------------------------------------------------------------
+
+
+@_register("raster_reclass", raster.raster_reclass_oracle())
+def q_raster_reclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterReclassProcess: 5-class range remap of the value raster."""
+    return raster.raster_reclass(spark)
+
+
+@_register("raster_ndvi", raster.raster_ndvi_oracle())
+def q_raster_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterNDVIProcess: (nir-red)/(nir+red) per pixel, block means."""
+    return raster.raster_ndvi(spark)
+
+
+@_register("focal_slope", raster.focal_slope_oracle())
+def q_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterSlopeProcess: Horn 3x3 stencil via halo-exchange shuffle."""
+    return raster.focal_slope(spark)
+
+
+@_register("extract_values_points", raster.extract_values_oracle())
+def q_extract_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractValuesToPointsProcess: sample the raster at part points."""
+    return raster.extract_values_to_points(
+        spark, world.points_part(spark, sf_dir)
+    )
+
+
+@_register("raster_histogram", raster.raster_histogram_oracle())
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistogramGridCoverageProcess: 50-wide value-bucket frequencies."""
+    return raster.raster_histogram(spark)
+
+
+@_register(
+    "triangular_grid_40",
+    binning.triangular_grid_oracle(binning.WORLD_BBOX, 40.0),
+)
+def q_triangular_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriangularGridProcess: up/down triangles on a 40-unit lattice."""
+    return binning.triangular_grid(spark, binning.WORLD_BBOX, 40.0)
+
+
+@_register(
+    "circular_grid_25", binning.circular_grid_oracle(binning.WORLD_BBOX, 25.0)
+)
+def q_circular_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CircularGridProcess: circle cells on a 2r lattice."""
+    return binning.circular_grid(spark, binning.WORLD_BBOX, 25.0)
+
+
+# ---------------------------------------------------------------------------
+# Regression (relationship.py)
+# ---------------------------------------------------------------------------
+
+from . import relationship  # noqa: E402
+
+
+@_register("ols_lineitem", relationship.ols_oracle())
+def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLSProcess: extendedprice ~ quantity over lineitem, exact moments."""
+    return relationship.ols_simple(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Density / allocation / profile / generators
+# ---------------------------------------------------------------------------
+
+# Discrete Voronoi (ThiessenPolygonOperation.java:79 in raster form): every
+# grid cell of a 10-unit lattice is allocated to its nearest part-point
+# (EuclideanDistance/Allocation semantics, RasterEuclideanDistanceOperation
+# .java:58). Distributed: nearest_join of the generated lattice against the
+# seed layer; per-seed aggregation = cell count + exact scaled distance sum.
+_VOR_GRID_SPARK = (
+    "SELECT id AS gid, CAST(id % 100 AS DOUBLE) * 10.0 + 5.0 AS gx, "
+    "CAST(CAST(id / 100 AS BIGINT) AS DOUBLE) * 10.0 + 5.0 AS gy "
+    "FROM RANGE(10000)"
+)
+_VOR_GRID_DUCK = (
+    "SELECT uid AS gid, CAST(uid % 100 AS DOUBLE) * 10.0 + 5.0 AS gx, "
+    "CAST(CAST(FLOOR(uid / 100) AS BIGINT) AS DOUBLE) * 10.0 + 5.0 AS gy "
+    "FROM (SELECT generate_series AS uid FROM generate_series(0, 9999))"
+)
+
+_VORONOI_ORACLE = world.with_layers(
+    f"""
+WITH grid AS ({_VOR_GRID_DUCK}),
+alloc AS (
+  SELECT gid, pid_r, d2 FROM (
+    SELECT g.gid AS gid, p.pid AS pid_r,
+           (g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY g.gid ORDER BY
+             (g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y) ASC,
+             p.pid ASC) AS rn
+    FROM grid g JOIN points_part p
+      ON (g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y)
+         <= 40000.0
+  ) WHERE rn = 1
+)
+SELECT pid_r AS seed, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(FLOOR(SQRT(d2) * 1000.0) AS BIGINT)) AS BIGINT)
+         AS dist_sum_u
+FROM alloc GROUP BY pid_r
+""",
+    "points_part",
+)
+
+
+@_register("discrete_voronoi", _VORONOI_ORACLE)
+def q_discrete_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThiessenPolygonProcess + EuclideanDistanceProcess in raster form:
+    allocate each lattice cell to its nearest seed, radius cap 200."""
+    world.register_tables(spark, sf_dir)
+    grid = spark.sql(_VOR_GRID_SPARK)
+    seeds = world.points_part(spark, sf_dir)
+    # single-phase (first_radius=0): the seed layer is tiny relative to the
+    # lattice, so the adaptive two-phase's extra jobs cost more than the
+    # full-radius candidate set (~25 seeds per cell at gate density).
+    alloc = joins.nearest_join(
+        grid, seeds, radius=200.0, first_radius=0.0,
+        left_cols=("gid", "gx", "gy"),
+    )
+    return alloc.groupBy(F.col("pid_r").alias("seed")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.expr("CAST(FLOOR(SQRT(d2) * 1000.0) AS BIGINT)"))
+        .cast("long").alias("dist_sum_u"),
+    )
+
+
+# Point density surface (RasterPointDensityOperation.java:48): per lattice
+# cell, count + weight-sum of events within radius 20 of the cell center —
+# the aggregating band join re-used with a generated left side.
+_PD_ORACLE = world.with_layers(
+    f"""
+WITH grid AS ({_VOR_GRID_DUCK})
+SELECT g.gid AS gid, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(p.w) AS BIGINT) AS sum_w
+FROM grid g JOIN points_events p
+  ON (g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y) <= 400.0
+GROUP BY g.gid
+""",
+    "points_events",
+)
+
+
+@_register("point_density_grid", _PD_ORACLE)
+def q_point_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointDensityProcess: per-cell neighborhood count/weight within r=20."""
+    world.register_tables(spark, sf_dir)
+    grid = spark.sql(_VOR_GRID_SPARK)
+    ev = world.points_events(spark, sf_dir)
+    st = joins.band_stats_join(
+        grid, ev, radius=20.0, value_col="w",
+        left_cols=("gid", "gx", "gy"),
+    )
+    return st.select(
+        F.col("pid_l").alias("gid"), "cnt",
+        F.col("sum_v").alias("sum_w"),
+    )
+
+
+# Raster profile (RasterProfileProcess): sample the value raster every 5
+# units along each segment; per segment count/sum/max of sampled values.
+_PROFILE_ORACLE = world.with_layers(
+    f"""
+WITH pix AS ({'SELECT CAST(uid % 500 AS BIGINT) AS ix, CAST(FLOOR(uid / 500) AS BIGINT) AS iy, ((uid % 500) * 7919 + CAST(FLOOR(uid / 500) AS BIGINT) * 104729) % 1000 AS v FROM (SELECT generate_series AS uid FROM generate_series(0, 249999))'}),
+st AS (
+  SELECT lid,
+         CAST(FLOOR((x1 + (k * 5.0 / seg_len) * (x2 - x1)) / 2.0) AS BIGINT)
+           AS ix,
+         CAST(FLOOR((y1 + (k * 5.0 / seg_len) * (y2 - y1)) / 2.0) AS BIGINT)
+           AS iy
+  FROM (
+    SELECT lid, x1, y1, x2, y2,
+           SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+    FROM lines_orders
+  ), LATERAL UNNEST(generate_series(0,
+       CAST(FLOOR(seg_len / 5.0) AS INT))) AS u(k)
+)
+SELECT st.lid AS lid, CAST(COUNT(*) AS BIGINT) AS n_samp,
+       CAST(SUM(p.v) AS BIGINT) AS sum_v, CAST(MAX(p.v) AS BIGINT) AS max_v
+FROM st JOIN pix p ON st.ix = p.ix AND st.iy = p.iy
+GROUP BY st.lid
+""",
+    "lines_orders",
+)
+
+
+@_register("raster_profile", _PROFILE_ORACLE)
+def q_raster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterProfileProcess: stations every 5 units -> pixel sample join."""
+    from . import overlay
+
+    world.register_tables(spark, sf_dir)
+    st = overlay.points_along_lines(
+        world.load_layer(spark, sf_dir, "lines_orders"), spacing=5.0
+    )
+    # stations carry rounded coords; recompute pixel ids from exact station
+    # math to match the oracle (ROUND(...,6) would shift FLOOR at edges, so
+    # sample on the unrounded expression instead).
+    segs = world.load_layer(spark, sf_dir, "lines_orders").selectExpr(
+        "lid", "x1", "y1", "x2", "y2",
+        "SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len",
+    )
+    segs = segs.withColumn(
+        "k", F.expr("explode(sequence(0, CAST(FLOOR(seg_len / 5.0) AS INT)))")
+    )
+    samp = segs.selectExpr(
+        "lid",
+        "CAST(FLOOR((x1 + (k * 5.0 / seg_len) * (x2 - x1)) / 2.0) AS BIGINT)"
+        " AS ix",
+        "CAST(FLOOR((y1 + (k * 5.0 / seg_len) * (y2 - y1)) / 2.0) AS BIGINT)"
+        " AS iy",
+    )
+    pixels = spark.sql(raster.ZONAL_PIXELS_SQL_SPARK).select("ix", "iy", "v")
+    return (
+        samp.join(pixels, on=["ix", "iy"], how="inner")
+        .groupBy("lid")
+        .agg(
+            F.count(F.lit(1)).alias("n_samp"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )
+
+
+# Seeded synthetic point generation (RandomPointsOperation.java:49):
+# deterministic scramble over spark.range — the distributed analogue of the
+# reference's seeded RNG; identical closed form in DuckDB.
+_RANDOM_N = 5000
+_RANDOM_ORACLE = f"""
+SELECT uid,
+       ROUND(CAST((uid * 48271 + ((uid * uid) % 999979) * 7129) % 1000000
+             AS DOUBLE) / 1000.0, 6) AS rx,
+       ROUND(CAST(((uid + 13) * 69621 + (((uid + 5) * (uid + 5)) % 999961)
+             * 3517) % 1000000 AS DOUBLE) / 1000.0, 6) AS ry
+FROM (SELECT generate_series AS uid FROM generate_series(0, {_RANDOM_N - 1}))
+"""
+
+
+@_register("random_points", _RANDOM_ORACLE)
+def q_random_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomPointsProcess: seeded deterministic uniform points."""
+    df = spark.range(_RANDOM_N).withColumnRenamed("id", "uid")
+    return df.selectExpr(
+        "uid",
+        "ROUND(CAST((uid * 48271 + ((uid * uid) % 999979) * 7129) % 1000000 "
+        "AS DOUBLE) / 1000.0, 6) AS rx",
+        "ROUND(CAST(((uid + 13) * 69621 + (((uid + 5) * (uid + 5)) % 999961) "
+        "* 3517) % 1000000 AS DOUBLE) / 1000.0, 6) AS ry",
+    )
+
+
+# Multiple ring buffers (MultipleBufferFeatureCollection.java:53): three
+# concentric distances per point; ring area = pi*(r_o^2 - r_i^2) (donut,
+# outsideOnly=true). Explode of the distance list, narrow.
+_RING_ORACLE = world.with_layers(
+    f"""
+SELECT pid, CAST(ring AS INT) AS ring,
+       CAST(ring AS DOUBLE) * 5.0 AS r_outer,
+       ROUND({world.dlit(3.141592653589793)}
+             * ((ring * 5.0) * (ring * 5.0)
+                - ((ring - 1) * 5.0) * ((ring - 1) * 5.0)), 6) AS ring_area
+FROM points_part, LATERAL UNNEST(generate_series(1, 3)) AS u(ring)
+""",
+    "points_part",
+)
+
+
+@_register("ring_buffers", _RING_ORACLE)
+def q_ring_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleRingBufferProcess: 3 concentric donut rings per point."""
+    pts = world.points_part(spark, sf_dir)
+    df = pts.withColumn("ring", F.expr("explode(sequence(1, 3))"))
+    return df.selectExpr(
+        "pid", "CAST(ring AS INT) AS ring",
+        "CAST(ring AS DOUBLE) * 5.0 AS r_outer",
+        f"ROUND({world.dlit(3.141592653589793)} * ((ring * 5.0) * (ring * 5.0)"
+        " - ((ring - 1) * 5.0) * ((ring - 1) * 5.0)), 6) AS ring_area",
+    )

@@ -214,6 +214,7 @@ def band_stats_join(
     left_keep: dict[str, str] | None = None,
     strategy: str | None = None,
     tile_size: float | None = None,
+    with_sq: bool = False,
 ) -> DataFrame:
     """Per left point: (cnt, sum_v) of right points within ``radius``.
 
@@ -266,6 +267,11 @@ def band_stats_join(
     if value_col:
         cell_aggs.append(F.sum("rv").cast("long").alias("c_sum"))
         point_aggs.append(F.sum("rv").cast("long").alias("sum_v"))
+    if with_sq:
+        # neighbor sum of squares (exact integers) — Geary's C needs
+        # sum_j (vi - vj)^2 which expands to per-i cnt, sum, and sum-sq.
+        cell_aggs.append(F.sum(F.expr("rv * rv")).cast("long").alias("c_sq"))
+        point_aggs.append(F.sum(F.expr("rv * rv")).cast("long").alias("sum_sq"))
     rcells = r.groupBy("cell_x", "cell_y").agg(*cell_aggs)
 
     keeps = {k: F.col(src).alias(k) for k, src in (left_keep or {}).items()}
@@ -356,7 +362,8 @@ def band_stats_join(
         .join(rc_b, on=join_keys, how="inner")
         .groupBy(*gkeys)
         .agg(F.sum("c_cnt").alias("cnt"),
-             *([F.sum("c_sum").alias("sum_v")] if value_col else []))
+             *([F.sum("c_sum").alias("sum_v")] if value_col else []),
+             *([F.sum("c_sq").alias("sum_sq")] if with_sq else []))
     )
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
@@ -372,7 +379,8 @@ def band_stats_join(
         interior.unionByName(boundary)
         .groupBy(*gkeys)
         .agg(F.sum("cnt").cast("long").alias("cnt"),
-             *([F.sum("sum_v").cast("long").alias("sum_v")] if value_col else []))
+             *([F.sum("sum_v").cast("long").alias("sum_v")] if value_col else []),
+             *([F.sum("sum_sq").cast("long").alias("sum_sq")] if with_sq else []))
     )
 
 

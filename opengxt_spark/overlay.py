@@ -1,0 +1,442 @@
+"""Overlay and line operators: intersect, clipped line length, line-line
+intersection points, point-to-line snapping, points along lines.
+
+Reference parity map (paths relative to /root/reference):
+- ``intersect_rects``      <- GeoTools/process-spatialstatistics/.../transformation/
+                              IntersectFeatureCollection.java:61 (A∩B overlay,
+                              attribute concat; axis-aligned rect geometry makes
+                              the pairwise intersection closed-form)
+- ``sum_line_length``      <- operations/CalculateSumLineLengthOperation.java:52
+                              (per polygon: total clipped line length) — the
+                              rect clip interval is Liang-Barsky, closed-form
+- ``line_intersections``   <- operations/IntersectionPointsOperation.java:54
+                              (points where two line layers cross)
+- ``snap_points_to_lines`` <- operations/SnapPointsToLinesOperation.java:53
+                              (nearest line within tolerance, projected point)
+- ``points_along_lines``   <- transformation/PointsAlongLinesFeatureCollection
+                              .java:49 (equidistant points along lines)
+
+All predicates/coordinates are IEEE mul/add/div/sqrt expressions shared
+verbatim with the DuckDB oracle, so results hash identically. Every join is
+the cell-bucketed plan: bbox cell cover on the build side, one-cell probe (or
+cell-ownership dedup when both sides multi-cell), exact refine after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, planner, world
+from .world import dlit
+
+SEG_CELL = 50.0  # cell size for segment-bbox covers (segments span ~100s units)
+
+
+def _rect_cells(rects: DataFrame, cell_size: float) -> DataFrame:
+    return cells.explode_extent_cells(
+        world.rect_corners(planner.ensure_parallelism(rects)),
+        cell_size=cell_size,
+    )
+
+
+def intersect_rects(
+    a: DataFrame, b: DataFrame, cell_size: float = cells.DEFAULT_CELL_SIZE
+) -> DataFrame:
+    """Pairwise overlay intersection of two axis-aligned rectangle layers.
+
+    Output one row per intersecting (rid_a, rid_b) pair with the
+    intersection box and its area. Both sides explode to their bbox cell
+    cover; a pair meeting in several cells is emitted exactly once via the
+    **cell-ownership rule**: keep the match only in the cell containing the
+    intersection box's min corner — a dedup with zero extra shuffle
+    (SURVEY.md §2.4), unlike dropDuplicates which would re-shuffle the
+    whole pair table.
+    """
+    cs = float(cell_size)
+    aa = _rect_cells(
+        a.select(
+            F.col("rid").alias("rid_a"), F.col("cx").alias("acx"),
+            F.col("cy").alias("acy"), F.col("hw").alias("ahw"),
+            F.col("hh").alias("ahh"),
+        ).withColumns({
+            "cx": F.col("acx"), "cy": F.col("acy"),
+            "hw": F.col("ahw"), "hh": F.col("ahh"),
+        }),
+        cs,
+    ).drop("cx", "cy", "hw", "hh")
+    bb = _rect_cells(
+        b.select(
+            F.col("rid").alias("rid_b"), F.col("cx").alias("bcx"),
+            F.col("cy").alias("bcy"), F.col("hw").alias("bhw"),
+            F.col("hh").alias("bhh"),
+        ).withColumns({
+            "cx": F.col("bcx"), "cy": F.col("bcy"),
+            "hw": F.col("bhw"), "hh": F.col("bhh"),
+        }),
+        cs,
+    ).drop("cx", "cy", "hw", "hh", "xmin", "xmax", "ymin", "ymax")
+    joined = aa.join(bb, on=["cell_x", "cell_y"], how="inner")
+    ixmin = F.greatest(F.col("acx") - F.col("ahw"), F.col("bcx") - F.col("bhw"))
+    ixmax = F.least(F.col("acx") + F.col("ahw"), F.col("bcx") + F.col("bhw"))
+    iymin = F.greatest(F.col("acy") - F.col("ahh"), F.col("bcy") - F.col("bhh"))
+    iymax = F.least(F.col("acy") + F.col("ahh"), F.col("bcy") + F.col("bhh"))
+    out = joined.where((ixmin <= ixmax) & (iymin <= iymax))
+    # ownership: the cell containing the intersection's min corner
+    own = (
+        (F.floor(ixmin / F.lit(cs)).cast("long") == F.col("cell_x"))
+        & (F.floor(iymin / F.lit(cs)).cast("long") == F.col("cell_y"))
+    )
+    return out.where(own).select(
+        "rid_a", "rid_b",
+        F.round(ixmin, 6).alias("ixmin"), F.round(iymin, 6).alias("iymin"),
+        F.round(ixmax, 6).alias("ixmax"), F.round(iymax, 6).alias("iymax"),
+        F.round((ixmax - ixmin) * (iymax - iymin), 6).alias("area"),
+    )
+
+
+def intersect_rects_oracle() -> str:
+    return world.with_layers(
+        """
+SELECT a.rid AS rid_a, b.rid AS rid_b,
+       ROUND(GREATEST(a.cx - a.hw, b.cx - b.hw), 6) AS ixmin,
+       ROUND(GREATEST(a.cy - a.hh, b.cy - b.hh), 6) AS iymin,
+       ROUND(LEAST(a.cx + a.hw, b.cx + b.hw), 6) AS ixmax,
+       ROUND(LEAST(a.cy + a.hh, b.cy + b.hh), 6) AS iymax,
+       ROUND((LEAST(a.cx + a.hw, b.cx + b.hw)
+              - GREATEST(a.cx - a.hw, b.cx - b.hw))
+           * (LEAST(a.cy + a.hh, b.cy + b.hh)
+              - GREATEST(a.cy - a.hh, b.cy - b.hh)), 6) AS area
+FROM rects_customer a JOIN rects_orders b
+  ON GREATEST(a.cx - a.hw, b.cx - b.hw) <= LEAST(a.cx + a.hw, b.cx + b.hw)
+ AND GREATEST(a.cy - a.hh, b.cy - b.hh) <= LEAST(a.cy + a.hh, b.cy + b.hh)
+""",
+        "rects_customer", "rects_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clipped line length per polygon (Liang-Barsky interval, closed-form)
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragment: length of segment (x1,y1)-(x2,y2) inside rect
+# (cx,cy,hw,hh). t-interval clip per axis; degenerate axes (dx=0) handled by
+# the inside test (the parameterization divides only when |d| > 0).
+_CLIP_STAGES = [
+    ("sdx", "x2 - x1"),
+    ("sdy", "y2 - y1"),
+    # entering/exit t per axis; when the segment is axis-parallel use the
+    # full [0,1] interval if inside the slab else an empty one.
+    ("tx0", "CASE WHEN sdx > 0.0 THEN ((cx - hw) - x1) / sdx "
+            "WHEN sdx < 0.0 THEN ((cx + hw) - x1) / sdx "
+            "WHEN x1 >= cx - hw AND x1 <= cx + hw THEN 0.0 ELSE 1.0 END"),
+    ("tx1", "CASE WHEN sdx > 0.0 THEN ((cx + hw) - x1) / sdx "
+            "WHEN sdx < 0.0 THEN ((cx - hw) - x1) / sdx "
+            "WHEN x1 >= cx - hw AND x1 <= cx + hw THEN 1.0 ELSE 0.0 END"),
+    ("ty0", "CASE WHEN sdy > 0.0 THEN ((cy - hh) - y1) / sdy "
+            "WHEN sdy < 0.0 THEN ((cy + hh) - y1) / sdy "
+            "WHEN y1 >= cy - hh AND y1 <= cy + hh THEN 0.0 ELSE 1.0 END"),
+    ("ty1", "CASE WHEN sdy > 0.0 THEN ((cy + hh) - y1) / sdy "
+            "WHEN sdy < 0.0 THEN ((cy - hh) - y1) / sdy "
+            "WHEN y1 >= cy - hh AND y1 <= cy + hh THEN 1.0 ELSE 0.0 END"),
+    ("t_in", "GREATEST(tx0, ty0, 0.0)"),
+    ("t_out", "LEAST(tx1, ty1, 1.0)"),
+    ("clip_frac", "CASE WHEN t_out > t_in THEN t_out - t_in ELSE 0.0 END"),
+    ("seg_len", "SQRT(sdx * sdx + sdy * sdy)"),
+]
+
+
+def _seg_bbox(segments: DataFrame) -> DataFrame:
+    return (
+        segments.withColumn("xmin", F.least("x1", "x2"))
+        .withColumn("xmax", F.greatest("x1", "x2"))
+        .withColumn("ymin", F.least("y1", "y2"))
+        .withColumn("ymax", F.greatest("y1", "y2"))
+    )
+
+
+def sum_line_length(
+    segments: DataFrame, rects: DataFrame, cell_size: float = SEG_CELL
+) -> DataFrame:
+    """Per rectangle: total length of the segment portions inside it.
+
+    Plan: segments explode to their bbox cell cover (the build side — line
+    bboxes span multiple cells), rect layer explodes likewise; matches
+    dedup by cell ownership of the overlap region's min corner. The clip
+    interval is closed-form, the length sum is one groupBy.
+    """
+    from .binning import apply_stages
+
+    cs = float(cell_size)
+    segs = cells.explode_extent_cells(
+        _seg_bbox(planner.ensure_parallelism(segments)), cell_size=cs
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    rc = cells.explode_extent_cells(
+        world.rect_corners(planner.ensure_parallelism(rects)), cell_size=cs
+    )
+    joined = segs.join(rc, on=["cell_x", "cell_y"], how="inner")
+    # ownership cell: min corner of the bbox-overlap region of seg x rect
+    oxmin = F.greatest(F.least("x1", "x2"), F.col("cx") - F.col("hw"))
+    oymin = F.greatest(F.least("y1", "y2"), F.col("cy") - F.col("hh"))
+    joined = joined.where(
+        (F.floor(oxmin / F.lit(cs)).cast("long") == F.col("cell_x"))
+        & (F.floor(oymin / F.lit(cs)).cast("long") == F.col("cell_y"))
+    )
+    staged = apply_stages(joined, _CLIP_STAGES)
+    return (
+        staged.where(F.col("clip_frac") > 0.0)
+        .groupBy("rid")
+        .agg(
+            F.round(F.sum(F.expr("clip_frac * seg_len")), 4).alias("sum_len"),
+            F.count(F.lit(1)).alias("n_segs"),
+        )
+    )
+
+
+def sum_line_length_oracle() -> str:
+    from .binning import stages_to_subquery
+
+    # bbox columns precomputed in a subquery: DuckDB's range-join machinery
+    # hits an internal error on LEAST/GREATEST expressions inside ON.
+    base = """
+SELECT r.rid AS rid, l.x1, l.y1, l.x2, l.y2, r.cx, r.cy, r.hw, r.hh
+FROM (SELECT lid, x1, y1, x2, y2,
+             LEAST(x1, x2) AS bxmin, GREATEST(x1, x2) AS bxmax,
+             LEAST(y1, y2) AS bymin, GREATEST(y1, y2) AS bymax
+      FROM lines_orders) l
+JOIN rects_customer r
+  ON l.bxmin <= r.cx + r.hw AND l.bxmax >= r.cx - r.hw
+ AND l.bymin <= r.cy + r.hh AND l.bymax >= r.cy - r.hh
+"""
+    sub = stages_to_subquery(base, _CLIP_STAGES)
+    return world.with_layers(
+        f"""
+SELECT rid, ROUND(SUM(clip_frac * seg_len), 4) AS sum_len,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM {sub} WHERE clip_frac > 0.0 GROUP BY rid
+""",
+        "lines_orders", "rects_customer",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line x line intersection points
+# ---------------------------------------------------------------------------
+
+_XING_STAGES = [
+    ("adx", "ax2 - ax1"),
+    ("ady", "ay2 - ay1"),
+    ("bdx", "bx2 - bx1"),
+    ("bdy", "by2 - by1"),
+    ("den", "adx * bdy - ady * bdx"),
+    ("tnum", "(bx1 - ax1) * bdy - (by1 - ay1) * bdx"),
+    ("unum", "(bx1 - ax1) * ady - (by1 - ay1) * adx"),
+    ("ta", "CASE WHEN den <> 0.0 THEN tnum / den ELSE -1.0 END"),
+    ("ua", "CASE WHEN den <> 0.0 THEN unum / den ELSE -1.0 END"),
+    ("hit", "den <> 0.0 AND ta >= 0.0 AND ta <= 1.0 AND ua >= 0.0 AND ua <= 1.0"),
+    ("px", "ax1 + ta * adx"),
+    ("py", "ay1 + ta * ady"),
+]
+
+
+def line_intersections(
+    a: DataFrame, b: DataFrame, cell_size: float = SEG_CELL
+) -> DataFrame:
+    """Crossing points of two segment layers -> (lid_a, lid_b, px, py).
+
+    Segment-pair candidate generation is the bbox cell join with ownership
+    dedup on the crossing point's cell (each true crossing lies in exactly
+    one cell, so the emitted row is unique without a distinct).
+    """
+    from .binning import apply_stages
+
+    cs = float(cell_size)
+    aa = cells.explode_extent_cells(
+        _seg_bbox(planner.ensure_parallelism(a).select(
+            F.col("lid").alias("lid_a"), F.col("x1").alias("ax1"),
+            F.col("y1").alias("ay1"), F.col("x2").alias("ax2"),
+            F.col("y2").alias("ay2"),
+        ).withColumns({"x1": F.col("ax1"), "y1": F.col("ay1"),
+                       "x2": F.col("ax2"), "y2": F.col("ay2")})),
+        cell_size=cs,
+    ).drop("x1", "y1", "x2", "y2", "xmin", "xmax", "ymin", "ymax")
+    bbx = cells.explode_extent_cells(
+        _seg_bbox(planner.ensure_parallelism(b).select(
+            F.col("lid").alias("lid_b"), F.col("x1").alias("bx1"),
+            F.col("y1").alias("by1"), F.col("x2").alias("bx2"),
+            F.col("y2").alias("by2"),
+        ).withColumns({"x1": F.col("bx1"), "y1": F.col("by1"),
+                       "x2": F.col("bx2"), "y2": F.col("by2")})),
+        cell_size=cs,
+    ).drop("x1", "y1", "x2", "y2", "xmin", "xmax", "ymin", "ymax")
+    joined = aa.join(bbx, on=["cell_x", "cell_y"], how="inner")
+    staged = apply_stages(joined, _XING_STAGES)
+    out = staged.where(F.col("hit"))
+    own = (
+        (F.floor(F.col("px") / F.lit(cs)).cast("long") == F.col("cell_x"))
+        & (F.floor(F.col("py") / F.lit(cs)).cast("long") == F.col("cell_y"))
+    )
+    return out.where(own).select(
+        "lid_a", "lid_b",
+        F.round("px", 6).alias("px"), F.round("py", 6).alias("py"),
+    )
+
+
+def line_intersections_oracle() -> str:
+    from .binning import stages_to_subquery
+
+    # bbox columns precomputed (see sum_line_length_oracle: DuckDB internal
+    # error on LEAST/GREATEST in range-join ON clauses).
+    base = """
+SELECT a.lid AS lid_a, b.lid AS lid_b,
+       a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+       b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+FROM (SELECT lid, x1, y1, x2, y2,
+             LEAST(x1, x2) AS bxmin, GREATEST(x1, x2) AS bxmax,
+             LEAST(y1, y2) AS bymin, GREATEST(y1, y2) AS bymax
+      FROM lines_orders) a
+JOIN (SELECT lid, x1, y1, x2, y2,
+             LEAST(x1, x2) AS bxmin, GREATEST(x1, x2) AS bxmax,
+             LEAST(y1, y2) AS bymin, GREATEST(y1, y2) AS bymax
+      FROM lines_part) b
+  ON a.bxmin <= b.bxmax AND a.bxmax >= b.bxmin
+ AND a.bymin <= b.bymax AND a.bymax >= b.bymin
+"""
+    sub = stages_to_subquery(base, _XING_STAGES)
+    return world.with_layers(
+        f"""
+SELECT lid_a, lid_b, ROUND(px, 6) AS px, ROUND(py, 6) AS py
+FROM {sub} WHERE hit
+""",
+        "lines_orders", "lines_part",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snap points to lines (nearest segment within tolerance, projected point)
+# ---------------------------------------------------------------------------
+
+_SNAP_STAGES = [
+    ("sdx", "x2 - x1"),
+    ("sdy", "y2 - y1"),
+    ("seglen2", "sdx * sdx + sdy * sdy"),
+    ("tproj", "CASE WHEN seglen2 > 0.0 THEN "
+              "GREATEST(LEAST(((x - x1) * sdx + (y - y1) * sdy) / seglen2, "
+              "1.0), 0.0) ELSE 0.0 END"),
+    ("qx", "x1 + tproj * sdx"),
+    ("qy", "y1 + tproj * sdy"),
+    ("snap_d2", "(x - qx) * (x - qx) + (y - qy) * (y - qy)"),
+]
+
+
+def snap_points_to_lines(
+    points: DataFrame,
+    segments: DataFrame,
+    tolerance: float,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Per point: nearest segment within tolerance and the snapped
+    (projected, clamped-to-segment) coordinates.
+
+    Plan: segments' bboxes expand by the tolerance and explode to cells
+    (build side); points probe with their single cell. min(struct) picks
+    the nearest with a deterministic lid tie-break — combines map-side.
+    """
+    from .binning import apply_stages
+
+    cs = float(cell_size or max(tolerance, 25.0))
+    p = cells.with_point_cells(
+        planner.ensure_parallelism(points).select("pid", "x", "y"),
+        cell_size=cs,
+    )
+    s = cells.explode_extent_cells(
+        cells.expand_extent(
+            _seg_bbox(planner.ensure_parallelism(segments)), tolerance
+        ),
+        cell_size=cs,
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    joined = p.join(s, on=["cell_x", "cell_y"], how="inner")
+    staged = apply_stages(joined, _SNAP_STAGES)
+    near = staged.where(
+        F.col("snap_d2") <= F.lit(float(tolerance) * float(tolerance))
+    )
+    best = (
+        near.groupBy("pid")
+        .agg(F.min(F.struct("snap_d2", "lid", "qx", "qy")).alias("_b"))
+        .select(
+            "pid",
+            F.col("_b.lid").alias("lid"),
+            F.round(F.sqrt(F.col("_b.snap_d2")), 6).alias("snap_dist"),
+            F.round(F.col("_b.qx"), 6).alias("qx"),
+            F.round(F.col("_b.qy"), 6).alias("qy"),
+        )
+    )
+    return best
+
+
+def snap_points_oracle(tolerance: float) -> str:
+    from .binning import stages_to_subquery
+
+    t2 = dlit(float(tolerance) * float(tolerance))
+    base = """
+SELECT p.pid AS pid, p.x, p.y, l.lid, l.x1, l.y1, l.x2, l.y2
+FROM points_part p, lines_orders l
+"""
+    sub = stages_to_subquery(base, _SNAP_STAGES)
+    return world.with_layers(
+        f"""
+SELECT pid, lid, snap_dist, qx, qy FROM (
+  SELECT pid, lid,
+         ROUND(SQRT(snap_d2), 6) AS snap_dist,
+         ROUND(qx, 6) AS qx, ROUND(qy, 6) AS qy,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY snap_d2 ASC, lid ASC)
+           AS rn
+  FROM {sub} WHERE snap_d2 <= {t2}
+) WHERE rn = 1
+""",
+        "points_part", "lines_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Points along lines (equidistant stations)
+# ---------------------------------------------------------------------------
+
+
+def points_along_lines(segments: DataFrame, spacing: float) -> DataFrame:
+    """Equidistant points along each segment at ``spacing`` intervals
+    (station 0 at the start vertex). Narrow explode, no shuffle."""
+    sp = dlit(float(spacing))
+    df = planner.ensure_parallelism(segments).select(
+        "lid", "x1", "y1", "x2", "y2",
+        F.expr("SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))")
+        .alias("seg_len"),
+    )
+    df = df.withColumn(
+        "k",
+        F.expr(f"explode(sequence(0, CAST(FLOOR(seg_len / {sp}) AS INT)))"),
+    )
+    t = F.expr(f"k * {sp} / seg_len")
+    return df.select(
+        "lid",
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("x1") + t * (F.col("x2") - F.col("x1")), 6).alias("sx"),
+        F.round(F.col("y1") + t * (F.col("y2") - F.col("y1")), 6).alias("sy"),
+    )
+
+
+def points_along_lines_oracle(spacing: float) -> str:
+    sp = dlit(float(spacing))
+    return world.with_layers(
+        f"""
+SELECT lid, CAST(k AS BIGINT) AS k,
+       ROUND(x1 + (k * {sp} / seg_len) * (x2 - x1), 6) AS sx,
+       ROUND(y1 + (k * {sp} / seg_len) * (y2 - y1), 6) AS sy
+FROM (
+  SELECT lid, x1, y1, x2, y2,
+         SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+  FROM lines_orders
+), LATERAL UNNEST(generate_series(0, CAST(FLOOR(seg_len / {sp}) AS INT))) AS u(k)
+""",
+        "lines_orders",
+    )

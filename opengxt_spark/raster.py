@@ -418,3 +418,240 @@ WHERE gx.generate_series * gx.generate_series
         f"SUM(wgt * kval) / {dlit(scale_area)} AS kd "
         f"FROM {sub} GROUP BY pcx + dx, pcy + dy"
     )
+
+
+# ---------------------------------------------------------------------------
+# Raster map algebra + focal + sampling over the synthetic value raster
+# ---------------------------------------------------------------------------
+
+# Reference parity (GT = .../geotools/process/spatialstatistics):
+# - raster_reclass      <- GT/gridcoverage/RasterReclassOperation.java:43
+#                          (range remap); raster_math / NDVI expression ops
+#                          <- RasterMathOperation.java:44, RasterNDVIOperation
+#                          .java:44 — all local (per-pixel) map algebra,
+#                          i.e. a narrow projection over the pixel table.
+# - focal_slope         <- RasterSlopeOperation.java:47 (3x3 Horn stencil,
+#                          AbstractSurfaceOperation.java:38). Distributed
+#                          shape: **halo exchange** — every pixel SENDS its
+#                          value to its 8 neighbors (explode of the 3x3
+#                          offsets, a narrow op), then groupBy(target pixel)
+#                          reassembles the stencil. One shuffle, no
+#                          point-to-point reads; at tile granularity the
+#                          identical plan ships 1-pixel tile borders.
+# - extract_values      <- RasterExtractValuesToPointsOperation.java:46
+#                          (sample raster at point locations -> PIP-style
+#                          cell equi-join, pixel id is the join key).
+# - raster_histogram    <- HistogramGridCoverageProcess (value-bucket
+#                          frequency; groupBy bucket).
+
+ZPIX_CELL = 2.0  # zonal grid resolution (see ZONAL_PIXELS_SQL_*)
+
+
+def raster_reclass(spark: SparkSession) -> DataFrame:
+    """Range-remap of the synthetic value raster into 5 classes + per-class
+    pixel counts and exact sums. Output (cls, n_pix, sum_v)."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    cls = F.expr(
+        "CASE WHEN v < 100 THEN 0 WHEN v < 300 THEN 1 WHEN v < 600 THEN 2 "
+        "WHEN v < 900 THEN 3 ELSE 4 END"
+    )
+    return (
+        pixels.withColumn("cls", cls)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_pix"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+    )
+
+
+def raster_reclass_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT CASE WHEN v < 100 THEN 0 WHEN v < 300 THEN 1 WHEN v < 600 THEN 2
+            WHEN v < 900 THEN 3 ELSE 4 END AS cls,
+       CAST(COUNT(*) AS BIGINT) AS n_pix, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM pix GROUP BY 1
+"""
+
+
+_NDVI_RED = "(v * 7 + ix * 3) % 256 AS red"
+_NDVI_NIR = "(v * 11 + iy * 5) % 256 AS nir"
+
+
+def raster_ndvi(spark: SparkSession) -> DataFrame:
+    """Two synthetic bands derived per pixel; NDVI = (nir-red)/(nir+red).
+    Output one row per 50x50 block: (bx, by, n, ndvi_mean) — the per-pixel
+    NDVI is a narrow expression; the block mean keeps the gate result
+    compact. Sums are exact integer ratios scaled by 1e6 before rounding."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    df = pixels.selectExpr("ix", "iy", "v", _NDVI_RED, _NDVI_NIR)
+    df = df.where(F.expr("nir + red > 0"))
+    ndvi_u = F.expr(
+        "CAST(FLOOR(1000000.0 * CAST(nir - red AS DOUBLE) "
+        "/ CAST(nir + red AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        df.withColumn("ndvi_u", ndvi_u)
+        .groupBy(
+            F.expr("CAST(FLOOR(ix / 50) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(iy / 50) AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("ndvi_u") / F.count(F.lit(1)) / 1e6, 6)
+            .alias("ndvi_mean"),
+        )
+    )
+
+
+def raster_ndvi_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+bands AS (SELECT ix, iy, v, {_NDVI_RED}, {_NDVI_NIR} FROM pix),
+nd AS (SELECT ix, iy,
+       CAST(FLOOR(1000000.0 * CAST(nir - red AS DOUBLE)
+            / CAST(nir + red AS DOUBLE)) AS BIGINT) AS ndvi_u
+       FROM bands WHERE nir + red > 0)
+SELECT CAST(FLOOR(ix / 50) AS BIGINT) AS bx,
+       CAST(FLOOR(iy / 50) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(ndvi_u) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS ndvi_mean
+FROM nd GROUP BY 1, 2
+"""
+
+
+def focal_slope(spark: SparkSession) -> DataFrame:
+    """Horn 3x3 slope over the synthetic value raster via halo exchange.
+
+    Every pixel explodes to its 9 (target, offset) contributions; a single
+    groupBy(target) + conditional sums reassembles the full stencil
+    (interior pixels only — count 9 filter drops the border, matching the
+    reference's edge NoData). Output per 25x25 block: (bx, by, n,
+    slope_sum) with slope = sqrt(gx^2 + gy^2) from the Horn kernel, scaled
+    floor(1e4) per pixel so block sums are exact integers.
+    """
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    sent = pixels.selectExpr("ix", "iy", "v").withColumn(
+        "dx", F.expr("explode(sequence(-1, 1))")
+    ).withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+    sent = sent.select(
+        (F.col("ix") + F.col("dx")).alias("tx"),
+        (F.col("iy") + F.col("dy")).alias("ty"),
+        F.col("dx"), F.col("dy"), F.col("v"),
+    )
+    # Horn gradients (cellsize 2.0): gx = ((tr+2r+br) - (tl+2l+bl)) / (8*cs)
+    # Under the send convention, the contributor at offset (dx,dy) relative
+    # to the TARGET is the sender with -dx, -dy.
+    g = sent.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n9"),
+        F.sum(F.expr(
+            "CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v "
+            "WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v "
+            "ELSE 0 END"
+        )).alias("gx_u"),
+        F.sum(F.expr(
+            "CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v "
+            "WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v "
+            "ELSE 0 END"
+        )).alias("gy_u"),
+    )
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    slope_u = F.expr(
+        f"CAST(FLOOR(10000.0 * SQRT((gx_u / {cs8}) * (gx_u / {cs8}) "
+        f"+ (gy_u / {cs8}) * (gy_u / {cs8}))) AS BIGINT)"
+    )
+    interior = g.where(F.col("n9") == 9).withColumn("slope_u", slope_u)
+    return (
+        interior.groupBy(
+            F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("slope_u").cast("long").alias("slope_sum"),
+        )
+    )
+
+
+def focal_slope_oracle() -> str:
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+sent AS (
+  SELECT ix + gdx.generate_series AS tx, iy + gdy.generate_series AS ty,
+         gdx.generate_series AS dx, gdy.generate_series AS dy, v
+  FROM pix, generate_series(-1, 1) gdx, generate_series(-1, 1) gdy
+),
+g AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+    CAST(SUM(CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gx_u,
+    CAST(SUM(CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gy_u
+  FROM sent GROUP BY tx, ty
+),
+sl AS (
+  SELECT tx, ty,
+         CAST(FLOOR(10000.0 * SQRT((gx_u / {cs8}) * (gx_u / {cs8})
+              + (gy_u / {cs8}) * (gy_u / {cs8}))) AS BIGINT) AS slope_u
+  FROM g WHERE n9 = 9
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(slope_u) AS BIGINT) AS slope_sum
+FROM sl GROUP BY 1, 2
+"""
+
+
+def extract_values_to_points(spark: SparkSession, points: DataFrame) -> DataFrame:
+    """Sample the value raster at point locations: point -> containing pixel
+    (ix, iy) -> equi-join on the pixel key. Output (pid, ix, iy, v)."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    p = points.select(
+        "pid",
+        F.expr(f"CAST(FLOOR(x / {dlit(ZPIX_CELL)}) AS BIGINT)").alias("ix"),
+        F.expr(f"CAST(FLOOR(y / {dlit(ZPIX_CELL)}) AS BIGINT)").alias("iy"),
+    )
+    return p.join(
+        pixels.select("ix", "iy", "v"), on=["ix", "iy"], how="inner"
+    ).select("pid", "ix", "iy", F.col("v").cast("long").alias("v"))
+
+
+def extract_values_oracle() -> str:
+    return world.with_layers(
+        f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT p.pid AS pid, q.ix AS ix, q.iy AS iy, CAST(q.v AS BIGINT) AS v
+FROM (SELECT pid,
+             CAST(FLOOR(x / {dlit(ZPIX_CELL)}) AS BIGINT) AS ix,
+             CAST(FLOOR(y / {dlit(ZPIX_CELL)}) AS BIGINT) AS iy
+      FROM points_part) p
+JOIN pix q ON p.ix = q.ix AND p.iy = q.iy
+""",
+        "points_part",
+    )
+
+
+def raster_histogram(spark: SparkSession, bucket: int = 50) -> DataFrame:
+    """Value-frequency histogram of the raster in ``bucket``-wide bins."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    return (
+        pixels.groupBy(
+            F.expr(f"CAST(FLOOR(v / {bucket}) AS BIGINT)").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pix"))
+    )
+
+
+def raster_histogram_oracle(bucket: int = 50) -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT CAST(FLOOR(v / {bucket}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pix
+FROM pix GROUP BY 1
+"""

@@ -103,14 +103,21 @@ POINTS_EVENTS_SQL = (
     "FROM events"
 )
 
-# Random segment layer (for directional mean / hub lines): one segment per
-# order, endpoints placed by independent scrambles.
+# Random segment layer (for directional mean / hub lines / clipping): one
+# SHORT segment per order — start from a scramble, end within ±60 units.
+# Short segments keep bbox cell covers O(1) (a world-spanning segment would
+# degrade every cell join it appears in) and keep line-line intersection
+# counts at gate-friendly sizes.
 LINES_ORDERS_SQL = (
     "SELECT o_orderkey AS lid, "
     f"{px_sql('o_orderkey * 13 + 101')} AS x1, "
     f"{py_sql('o_orderkey * 13 + 101')} AS y1, "
-    f"{px_sql('o_orderkey * 17 + 303')} AS x2, "
-    f"{py_sql('o_orderkey * 17 + 303')} AS y2 "
+    f"({px_sql('o_orderkey * 13 + 101')} "
+    f" + CAST({pxi_sql('o_orderkey * 17 + 303')} % 120000 AS DOUBLE) / 1000.0 "
+    " - 60.0) AS x2, "
+    f"({py_sql('o_orderkey * 13 + 101')} "
+    f" + CAST({pyi_sql('o_orderkey * 17 + 303')} % 120000 AS DOUBLE) / 1000.0 "
+    " - 60.0) AS y2 "
     "FROM orders"
 )
 
@@ -143,12 +150,39 @@ HEX_SUPPLIER_SQL = (
     "FROM supplier"
 )
 
+# Second rectangle layer (for overlay operators) and second segment layer
+# (for line-line intersections).
+RECTS_ORDERS_SQL = (
+    "SELECT o_orderkey AS rid, "
+    f"{px_sql('o_orderkey * 19 + 404009')} AS cx, "
+    f"{py_sql('o_orderkey * 23 + 505011')} AS cy, "
+    "CAST(4 + (o_orderkey % 9) AS DOUBLE) AS hw, "
+    "CAST(4 + (o_orderkey % 13) AS DOUBLE) AS hh, "
+    "o_orderpriority AS pri "
+    "FROM orders"
+)
+
+LINES_PART_SQL = (
+    "SELECT p_partkey AS lid, "
+    f"{px_sql('p_partkey * 29 + 606013')} AS x1, "
+    f"{py_sql('p_partkey * 29 + 606013')} AS y1, "
+    f"({px_sql('p_partkey * 29 + 606013')} "
+    f" + CAST({pxi_sql('p_partkey * 31 + 707017')} % 120000 AS DOUBLE) / 1000.0 "
+    " - 60.0) AS x2, "
+    f"({py_sql('p_partkey * 29 + 606013')} "
+    f" + CAST({pyi_sql('p_partkey * 31 + 707017')} % 120000 AS DOUBLE) / 1000.0 "
+    " - 60.0) AS y2 "
+    "FROM part"
+)
+
 LAYER_SQL = {
     "points_events": POINTS_EVENTS_SQL,
     "points_part": POINTS_PART_SQL,
     "rects_customer": RECTS_CUSTOMER_SQL,
     "hex_supplier": HEX_SUPPLIER_SQL,
     "lines_orders": LINES_ORDERS_SQL,
+    "rects_orders": RECTS_ORDERS_SQL,
+    "lines_part": LINES_PART_SQL,
 }
 
 TABLES = (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from opengxt_spark import autocorr, world
@@ -75,3 +76,52 @@ def test_quadrat_and_ks(spark, sf_dir):
     ks = autocorr.quadrat_ks(counts, q.n_quadrats)
     assert 0 <= ks["ks_d"] <= 1
     assert math.isclose(ks["critical_5pct"], 1.36 / math.sqrt(1600))
+
+
+def test_geary_c_random_field_near_one(spark, sf_dir):
+    """Geary's C on a spatially random field is ~1 (no autocorrelation)."""
+    from opengxt_spark import world
+    from pyspark.sql import functions as F
+
+    pts = world.points_events(spark, sf_dir).withColumn("v", F.expr("w % 97"))
+    row = autocorr.global_gearys_c(pts, 10.0).collect()[0]
+    # band 10 at sf0.001 density gives few neighbors per point, so the
+    # sampling spread of C is wide; the z bound is the real check.
+    assert 0.75 < row["geary_c"] < 1.25
+    assert abs(row["geary_z"]) < 4.0
+
+
+def test_general_g_matches_bruteforce_ratio(spark, sf_dir):
+    """General G observed value equals the brute-force pair ratio."""
+    from opengxt_spark import world
+    from pyspark.sql import functions as F
+
+    pts = world.points_events(spark, sf_dir).withColumn("v", F.expr("w % 97"))
+    rows = pts.select("pid", "x", "y", "v").collect()
+    num = 0
+    den = 0
+    for a in rows:
+        for b in rows:
+            if a["pid"] == b["pid"]:
+                continue
+            den += a["v"] * b["v"]
+            if (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2 <= 100.0:
+                num += a["v"] * b["v"]
+    got = autocorr.global_g(pts, 10.0).collect()[0]
+    assert got["g_obs_e6"] == pytest.approx(1e6 * num / den, abs=1e-4)
+
+
+def test_join_counts_sum_to_total_joins(spark, sf_dir):
+    """BB + WW + BW = total unordered joins J."""
+    from opengxt_spark import world, joins
+    from pyspark.sql import functions as F
+
+    pts = world.points_events(spark, sf_dir).withColumn("v", F.expr("w % 97"))
+    row = autocorr.join_count_stats(pts, 10.0).collect()[0]
+    st = joins.band_stats_join(pts, pts, 10.0)
+    total_j = (
+        st.agg(F.sum(F.expr("cnt - 1")).alias("s")).collect()[0]["s"] / 2
+    )
+    assert row["bb_obs"] + row["ww_obs"] + row["bw_obs"] == pytest.approx(
+        total_j
+    )
