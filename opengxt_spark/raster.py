@@ -655,3 +655,223 @@ SELECT CAST(FLOOR(v / {bucket}) AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_pix
 FROM pix GROUP BY 1
 """
+
+
+# Hillshade (RasterHillshadeOperation.java:39, azimuth 315, altitude 45).
+# Trig-free algebra: with gradients (gx, gy) from the same Horn stencil and
+# r^2 = gx^2 + gy^2, hillshade = 255*(cosZ + sinZ*(cosAz*(-gx) + sinAz*gy))
+# / sqrt(1 + r^2) — only mul/div/sqrt, so both engines agree bit-for-bit
+# (the angle cosines are compile-time constants).
+_COS_Z = 0.7071067811865476   # cos 45deg
+_SIN_Z = 0.7071067811865476
+_COS_AZ = 0.7071067811865476  # cos 315deg
+_SIN_AZ = -0.7071067811865476
+
+
+def _horn_gradients(spark: SparkSession):
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    sent = pixels.selectExpr("ix", "iy", "v").withColumn(
+        "dx", F.expr("explode(sequence(-1, 1))")
+    ).withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+    sent = sent.select(
+        (F.col("ix") + F.col("dx")).alias("tx"),
+        (F.col("iy") + F.col("dy")).alias("ty"),
+        F.col("dx"), F.col("dy"), F.col("v"),
+    )
+    return sent.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n9"),
+        F.sum(F.expr(
+            "CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v "
+            "WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v "
+            "ELSE 0 END"
+        )).alias("gx_u"),
+        F.sum(F.expr(
+            "CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v "
+            "WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v "
+            "ELSE 0 END"
+        )).alias("gy_u"),
+    )
+
+
+_HILLSHADE_EXPR = (
+    "CAST(FLOOR(255.0 * ({cz} + {sz} * ({caz} * (-1.0 * gx) + {saz} * gy)) "
+    "/ SQRT(1.0 + gx * gx + gy * gy)) AS BIGINT)"
+)
+
+
+def focal_hillshade(spark: SparkSession) -> DataFrame:
+    """Hillshade raster via the halo-exchange Horn gradients; per 25x25
+    block: (bx, by, n, shade_sum) with per-pixel FLOOR(shade) integers."""
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    g = _horn_gradients(spark).where(F.col("n9") == 9)
+    g = g.withColumn("gx", F.expr(f"gx_u / {cs8}")).withColumn(
+        "gy", F.expr(f"gy_u / {cs8}")
+    )
+    shade = _HILLSHADE_EXPR.format(
+        cz=dlit(_COS_Z), sz=dlit(_SIN_Z), caz=dlit(_COS_AZ), saz=dlit(_SIN_AZ)
+    )
+    g = g.withColumn("shade", F.expr(shade))
+    return (
+        g.groupBy(
+            F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("shade").cast("long").alias("shade_sum"),
+        )
+    )
+
+
+def focal_hillshade_oracle() -> str:
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    shade = _HILLSHADE_EXPR.format(
+        cz=dlit(_COS_Z), sz=dlit(_SIN_Z), caz=dlit(_COS_AZ), saz=dlit(_SIN_AZ)
+    )
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+sent AS (
+  SELECT ix + gdx.generate_series AS tx, iy + gdy.generate_series AS ty,
+         gdx.generate_series AS dx, gdy.generate_series AS dy, v
+  FROM pix, generate_series(-1, 1) gdx, generate_series(-1, 1) gdy
+),
+g AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+    CAST(SUM(CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gx_u,
+    CAST(SUM(CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gy_u
+  FROM sent GROUP BY tx, ty
+),
+sh AS (
+  SELECT tx, ty, {shade} AS shade FROM (
+    SELECT tx, ty, gx_u / {cs8} AS gx, gy_u / {cs8} AS gy
+    FROM g WHERE n9 = 9
+  )
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(shade) AS BIGINT) AS shade_sum
+FROM sh GROUP BY 1, 2
+"""
+
+
+# Bilinear resample (RasterResampleOperation.java:42, ResampleType.BILINEAR):
+# output lattice at 2x coarser resolution; each output center interpolates
+# the 4 surrounding input pixel centers with closed-form fractional weights.
+# Output values scaled x16 stay exact integers (weights are k/16).
+
+
+def raster_resample_bilinear(spark: SparkSession) -> DataFrame:
+    """Resample the 500x500 value raster to 250x250 via bilinear weights.
+    Output (ox, oy, v16) with v16 = 16 * interpolated value (exact int)."""
+    # output center (ox*4+2, oy*4+2); input centers (ix*2+1, iy*2+1).
+    # fractional position u = (oxc - ixc0)/2 in {1/2}, actually the 2x
+    # lattice puts every output center exactly mid-way: weights 1/4 each
+    # would lose generality — use a 3/4:1/4 split by sampling at
+    # (ox*4+1.5, oy*4+1.5): u = ((ox*4+1.5) - (ix0*2+1))/2.
+    out = planner.ensure_parallelism(
+        spark.range(250 * 250).selectExpr(
+            "id AS oid",
+            "CAST(id % 250 AS BIGINT) AS ox",
+            "CAST(FLOOR(id / 250) AS BIGINT) AS oy",
+        )
+    )
+    # input base index: ix0 = floor((sx - 1) / 2) with sx = ox*4 + 1.5
+    out = out.selectExpr(
+        "oid", "ox", "oy",
+        "CAST(FLOOR((ox * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS ix0",
+        "CAST(FLOOR((oy * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS iy0",
+    ).selectExpr(
+        "oid", "ox", "oy", "ix0", "iy0",
+        # 4*u in {1,3}: integer weights w_u = 4 - 4u for low, 4u for high
+        "CAST(4.0 * ((ox * 4 + 1.5 - (ix0 * 2 + 1)) / 2.0) AS BIGINT) AS ux4",
+        "CAST(4.0 * ((oy * 4 + 1.5 - (iy0 * 2 + 1)) / 2.0) AS BIGINT) AS uy4",
+    )
+    corners = out.withColumn(
+        "cx", F.expr("explode(sequence(0, 1))")
+    ).withColumn("cy", F.expr("explode(sequence(0, 1))"))
+    corners = corners.selectExpr(
+        "oid", "ox", "oy",
+        "ix0 + cx AS ix", "iy0 + cy AS iy",
+        "(CASE WHEN cx = 0 THEN 4 - ux4 ELSE ux4 END) "
+        "* (CASE WHEN cy = 0 THEN 4 - uy4 ELSE uy4 END) AS w16",
+    )
+    pixels = spark.sql(ZONAL_PIXELS_SQL_SPARK).select("ix", "iy", "v")
+    return (
+        corners.join(pixels, on=["ix", "iy"], how="inner")
+        .groupBy("ox", "oy")
+        .agg(F.sum(F.expr("w16 * v")).cast("long").alias("v16"))
+    )
+
+
+def raster_resample_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+outg AS (
+  SELECT uid AS oid, CAST(uid % 250 AS BIGINT) AS ox,
+         CAST(FLOOR(uid / 250) AS BIGINT) AS oy
+  FROM (SELECT generate_series AS uid FROM generate_series(0, 62499))
+),
+base AS (
+  SELECT oid, ox, oy,
+         CAST(FLOOR((ox * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS ix0,
+         CAST(FLOOR((oy * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS iy0
+  FROM outg
+),
+wts AS (
+  SELECT oid, ox, oy, ix0, iy0,
+         CAST(4.0 * ((ox * 4 + 1.5 - (ix0 * 2 + 1)) / 2.0) AS BIGINT) AS ux4,
+         CAST(4.0 * ((oy * 4 + 1.5 - (iy0 * 2 + 1)) / 2.0) AS BIGINT) AS uy4
+  FROM base
+),
+corners AS (
+  SELECT oid, ox, oy, ix0 + gcx.generate_series AS ix,
+         iy0 + gcy.generate_series AS iy,
+         (CASE WHEN gcx.generate_series = 0 THEN 4 - ux4 ELSE ux4 END)
+         * (CASE WHEN gcy.generate_series = 0 THEN 4 - uy4 ELSE uy4 END)
+           AS w16
+  FROM wts, generate_series(0, 1) gcx, generate_series(0, 1) gcy
+)
+SELECT c.ox AS ox, c.oy AS oy, CAST(SUM(c.w16 * p.v) AS BIGINT) AS v16
+FROM corners c JOIN pix p ON c.ix = p.ix AND c.iy = p.iy
+GROUP BY c.ox, c.oy
+"""
+
+
+# Cut-fill (AbstractRasterCutFillOperation.java:51): volume difference
+# between two surfaces; second surface synthesized from the pixel id.
+_SURF2 = "((ix * 104729 + iy * 7919) % 1000)"
+
+
+def raster_cutfill(spark: SparkSession) -> DataFrame:
+    """Per 25x25 block: cut (v > v2) and fill (v2 > v) exact volumes."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    df = pixels.selectExpr("ix", "iy", "v", f"{_SURF2} AS v2")
+    return (
+        df.groupBy(
+            F.expr("CAST(FLOOR(ix / 25) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(iy / 25) AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.sum(F.expr("CASE WHEN v > v2 THEN v - v2 ELSE 0 END"))
+            .cast("long").alias("cut"),
+            F.sum(F.expr("CASE WHEN v2 > v THEN v2 - v ELSE 0 END"))
+            .cast("long").alias("fill"),
+        )
+    )
+
+
+def raster_cutfill_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT CAST(FLOOR(ix / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(iy / 25) AS BIGINT) AS by,
+       CAST(SUM(CASE WHEN v > {_SURF2} THEN v - {_SURF2} ELSE 0 END)
+            AS BIGINT) AS cut,
+       CAST(SUM(CASE WHEN {_SURF2} > v THEN {_SURF2} - v ELSE 0 END)
+            AS BIGINT) AS fill
+FROM pix GROUP BY 1, 2
+"""

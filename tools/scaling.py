@@ -32,8 +32,11 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         env=env,
         timeout=3600,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench.py produced no JSON at {cores} cores")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
