@@ -123,7 +123,13 @@ def main() -> None:
     import gc
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("opengxt-bench")
+    # Shuffle partitions sized by DATA, not cores: with partitions = 2*cores
+    # a low-parallelism run gets oversized per-task join state (spill + GC)
+    # and the scaling comparison measures memory pressure, not cores. A
+    # fixed count at every level is the apples-to-apples setup — the same
+    # number of tasks, executed by fewer or more threads.
+    shuffle = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
+    spark = get_spark("opengxt-bench", shuffle_partitions=shuffle)
     ins = load_inputs(spark, sf_dir)
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else list(QUERY_BUILDERS)

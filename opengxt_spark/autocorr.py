@@ -700,3 +700,10 @@ def cluster_scan(
             F.round("scan_z", 6).alias("scan_z"),
         )
     )
+
+
+def global_lees_s(points: DataFrame, band: float, v: str = "v") -> DataFrame:
+    """Lee's S (GlobalLeesSOperation.java): the univariate case of Lee's L —
+    spatial smoothing concentration of one variable (x = y = v)."""
+    out = global_lees_l(points, band, x=v, y=v)
+    return out.select(F.col("lees_l").alias("lees_s"))

@@ -293,3 +293,88 @@ def _assign_expr_sqlpairs(centers: list[tuple[str, str]]) -> str:
         expr = f"CASE WHEN ({d2}) < ({best_d}) THEN {cid} ELSE {expr} END"
         best_d = f"LEAST({d2}, {best_d})"
     return expr
+
+
+def jenks_breaks(values: list[tuple[int, int]], k: int) -> list[int]:
+    """Fisher-Jenks natural breaks over a (value, count) histogram.
+
+    Classic O(k * m^2) dynamic program on the m distinct values (m is tiny
+    after the distributed histogram collapse — the scalable shape: the
+    cluster reduces 10^12 rows to a histogram, the driver solves the DP).
+    Returns the k-1 upper break values (exclusive of the global max).
+    Reference: GT/clsssifier/NaturalBreaksClassify.java:39.
+    """
+    vals = sorted(values)
+    m = len(vals)
+    xs = [float(v) for v, _ in vals]
+    ws = [float(c) for _, c in vals]
+    # prefix sums for O(1) SSE of any [i, j) range
+    pw = [0.0] * (m + 1)
+    pwx = [0.0] * (m + 1)
+    pwx2 = [0.0] * (m + 1)
+    for i in range(m):
+        pw[i + 1] = pw[i] + ws[i]
+        pwx[i + 1] = pwx[i] + ws[i] * xs[i]
+        pwx2[i + 1] = pwx2[i] + ws[i] * xs[i] * xs[i]
+
+    def sse(i: int, j: int) -> float:
+        w = pw[j] - pw[i]
+        if w <= 0:
+            return 0.0
+        sx = pwx[j] - pwx[i]
+        sx2 = pwx2[j] - pwx2[i]
+        return sx2 - sx * sx / w
+
+    INF = float("inf")
+    # dp[c][j] = min SSE splitting first j values into c classes
+    dp = [[INF] * (m + 1) for _ in range(k + 1)]
+    cut = [[0] * (m + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(c, m + 1):
+            best, bi = INF, 0
+            for i in range(c - 1, j):
+                v = dp[c - 1][i] + sse(i, j)
+                if v < best:
+                    best, bi = v, i
+            dp[c][j] = best
+            cut[c][j] = bi
+    breaks = []
+    j = m
+    for c in range(k, 1, -1):
+        j = cut[c][j]
+        breaks.append(int(vals[j - 1][0]))
+    return sorted(breaks)
+
+
+def classify_jenks(
+    points: DataFrame, n_classes: int = 5, value_col: str = "w"
+) -> DataFrame:
+    """Natural-breaks classification: distributed histogram -> driver DP ->
+    broadcast CASE classify. Output (cls, n, vmin, vmax) per class.
+
+    Rows-only on the driver gate (the DP is not SQL-expressible); the
+    class partition invariants are pytest-checked.
+    """
+    from . import planner
+
+    hist = [
+        (int(r["v"]), int(r["c"]))
+        for r in points.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    brks = jenks_breaks(hist, int(n_classes))
+    expr = f"CAST({len(brks)} AS INT)"
+    for i in range(len(brks) - 1, -1, -1):
+        expr = f"CASE WHEN {value_col} <= {brks[i]} THEN {i} ELSE {expr} END"
+    df = planner.ensure_parallelism(points).withColumn("cls", F.expr(expr))
+    return (
+        df.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).cast("long").alias("vmin"),
+            F.max(value_col).cast("long").alias("vmax"),
+        )
+        .orderBy("cls")
+    )

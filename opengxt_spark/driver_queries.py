@@ -1461,3 +1461,49 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_raster_cutfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RasterCutFillProcess: per-block cut/fill volumes of two surfaces."""
     return raster.raster_cutfill(spark)
+
+
+@_register("image_phash_neardup", raster.phash_neardup_oracle())
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via phash Hamming-LSH (exact for hamming<=3)."""
+    return raster.phash_neardup(spark, sf_dir)
+
+
+def _lees_s_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM mom CROSS JOIN pagg", autocorr.LEES_L_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH pts AS (SELECT pid, x, y, w % 97 AS v FROM points_events),
+ist AS (SELECT l.pid AS pid_l, COUNT(*) AS cnt,
+        CAST(SUM(r.v) AS BIGINT) AS sum_v
+        FROM pts l JOIN pts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid),
+pagg AS (SELECT CAST(SUM(sum_v * sum_v) AS BIGINT) AS p_xy,
+         CAST(SUM(cnt * sum_v) AS BIGINT) AS p_dx,
+         CAST(SUM(cnt * sum_v) AS BIGINT) AS p_dy,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sumdeg2 FROM ist),
+mom AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+        CAST(SUM(v) AS BIGINT) AS sy, CAST(SUM(v * v) AS BIGINT) AS sxx,
+        CAST(SUM(v * v) AS BIGINT) AS syy FROM pts)
+SELECT ROUND(lees_l, 6) AS lees_s FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_lees_s", _lees_s_oracle())
+def q_lees_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalLeesSProcess: univariate Lee's S of v=w%97."""
+    return autocorr.global_lees_s(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+def q_classify_jenks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaturalBreaksClassify (Jenks): histogram -> driver DP -> classify.
+    Rows-only gate (iterative DP not SQL-expressible)."""
+    return classify.classify_jenks(world.points_events(spark, sf_dir), 5)
+
+
+QUERIES["classify_jenks"] = q_classify_jenks

@@ -122,6 +122,7 @@ def distance_band_join(
     right_extra: dict[str, str] | None = None,
     build: str = "right",
     strategy: str | None = None,
+    tile_size: float | None = None,
 ) -> DataFrame:
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
@@ -135,6 +136,13 @@ def distance_band_join(
     ~3.3r^2 of the true pi*r^2 at the price of ~3.3x build duplication —
     the join-output scan, not the build shuffle, dominates at scale.
     Output: (pid_l, pid_r, d2 exact, dist rounded 1e-6).
+
+    ``strategy="tiled"`` switches to ghost-halo co-partitioning (see
+    band_stats_join): probe repartitioned by spatial tile once, build side
+    halo-duplicated across tile borders, SHUFFLE_HASH join on (tile, cell)
+    with zero further exchange — the both-sides-huge path where neither
+    fits a broadcast and a cell shuffle of the exploded build would
+    dominate. Pair output and downstream semantics are identical.
     """
     cs = float(cell_size or max(radius / 2.0, 1e-6))
     lid, lx, ly = left_cols
@@ -149,6 +157,47 @@ def distance_band_join(
         F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry"),
         *rex.values(),
     )
+
+    if strategy == "tiled":
+        rad = float(radius)
+        T = float(tile_size or cs * max(1, round(8.0 * rad / cs)))
+        nparts = int(l.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        probe_pt, bld_pt = (r, l) if build == "left" else (l, r)
+        pxc, pyc = ("rx", "ry") if build == "left" else ("lx", "ly")
+        bxc, byc = ("lx", "ly") if build == "left" else ("rx", "ry")
+        probe = cells.with_point_cells(probe_pt, x=pxc, y=pyc, cell_size=cs)
+        probe = probe.withColumn(
+            "tile_x", F.floor(F.col(pxc) / F.lit(T)).cast("long")
+        ).withColumn("tile_y", F.floor(F.col(pyc) / F.lit(T)).cast("long"))
+        probe = probe.repartition(nparts, "tile_x", "tile_y")
+        bld = cells.explode_circle_cells(
+            bld_pt, x=bxc, y=byc, radius=rad, cell_size=cs
+        )
+        bld = bld.withColumn(
+            "tile_x",
+            F.explode(F.sequence(
+                F.floor((F.col(bxc) - rad) / F.lit(T)).cast("long"),
+                F.floor((F.col(bxc) + rad) / F.lit(T)).cast("long"),
+            )),
+        ).withColumn(
+            "tile_y",
+            F.explode(F.sequence(
+                F.floor((F.col(byc) - rad) / F.lit(T)).cast("long"),
+                F.floor((F.col(byc) + rad) / F.lit(T)).cast("long"),
+            )),
+        )
+        bld = bld.repartition(nparts, "tile_x", "tile_y").hint("SHUFFLE_HASH")
+        dx = F.col("lx") - F.col("rx")
+        dy = F.col("ly") - F.col("ry")
+        d2 = dx * dx + dy * dy
+        joined = probe.join(
+            bld, on=["tile_x", "tile_y", "cell_x", "cell_y"], how="inner"
+        ).where(d2 <= F.lit(rad * rad))
+        return joined.select(
+            "pid_l", "pid_r", d2.alias("d2"),
+            F.round(F.sqrt(d2), 6).alias("dist"),
+            *[F.col(k) for k in (*lex, *rex)],
+        )
     # ``build`` picks which side is ring-exploded and broadcast/shuffled as
     # the join's build relation; the other side stays one-row-one-cell and
     # probes. Default "right" (the conventional small layer); pass "left"

@@ -46,18 +46,47 @@ FOOT_SCALE = 0.2  # world units per image pixel in the footprint
 # Image table synthesis (deterministic, from `orders`)
 # ---------------------------------------------------------------------------
 
-IMAGES_META_SQL = (
-    "SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
-    "o_orderkey AS okey, "
-    "CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w, "
-    "CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h, "
-    "'rgb8' AS fmt, "
-    "CONCAT('cap ', o_orderpriority, ' ', CAST(o_orderkey AS VARCHAR(32))) AS caption, "
-    "(o_orderkey * 2654435761) % 1000000007 AS phash, "
-    f"{world.px_sql('o_orderkey * 7 + 11')} AS fx, "
-    f"{world.py_sql('o_orderkey * 7 + 11')} AS fy "
-    "FROM orders"
+# phash: 63-bit perceptual-hash stand-in. Images in the same decade group
+# (g = okey - okey % 10) share a base hash; the okey%10==7 member differs
+# from the %10==0 member by exactly two planted bits — deterministic
+# near-duplicate pairs for the Hamming-LSH dedup operator. Spark text uses
+# ^ / SHIFTLEFT; the DuckDB oracle spells the same semantics with xor() /
+# << (integer ops are exact, so values match despite different spellings).
+_PHASH_BASE = "((o_orderkey - o_orderkey % 10) * 2654435761) % 9223372036854775783"
+PHASH_SQL_SPARK = (
+    f"CASE WHEN o_orderkey % 10 = 7 THEN ({_PHASH_BASE}) "
+    "^ SHIFTLEFT(1L, CAST(o_orderkey % 31 AS INT)) "
+    "^ SHIFTLEFT(1L, CAST(32 + o_orderkey % 29 AS INT)) "
+    f"WHEN o_orderkey % 10 = 0 THEN ({_PHASH_BASE}) "
+    f"ELSE (o_orderkey * 2654435761) % 9223372036854775783 END"
 )
+PHASH_SQL_DUCK = (
+    f"CASE WHEN o_orderkey % 10 = 7 THEN xor(xor(({_PHASH_BASE}), "
+    "(CAST(1 AS BIGINT) << CAST(o_orderkey % 31 AS INT))), "
+    "(CAST(1 AS BIGINT) << CAST(32 + o_orderkey % 29 AS INT))) "
+    f"WHEN o_orderkey % 10 = 0 THEN ({_PHASH_BASE}) "
+    f"ELSE (o_orderkey * 2654435761) % 9223372036854775783 END"
+)
+
+
+def _images_meta_sql(phash_sql: str) -> str:
+    return (
+        "SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
+        "o_orderkey AS okey, "
+        "CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w, "
+        "CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h, "
+        "'rgb8' AS fmt, "
+        "CONCAT('cap ', o_orderpriority, ' ', CAST(o_orderkey AS VARCHAR(32))) "
+        "AS caption, "
+        f"{phash_sql} AS phash, "
+        f"{world.px_sql('o_orderkey * 7 + 11')} AS fx, "
+        f"{world.py_sql('o_orderkey * 7 + 11')} AS fy "
+        "FROM orders"
+    )
+
+
+IMAGES_META_SQL = _images_meta_sql(PHASH_SQL_SPARK)
+IMAGES_META_SQL_DUCK = _images_meta_sql(PHASH_SQL_DUCK)
 
 
 def images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +187,7 @@ def footprint_tiles_oracle_sql(tile_size: float = TILE_SIZE) -> str:
     # args; the scalar form returns a list we UNNEST. Two UNNESTs in one
     # SELECT zip rather than cross, hence the two-level nesting.
     return f"""
-WITH meta AS ({IMAGES_META_SQL}),
+WITH meta AS ({IMAGES_META_SQL_DUCK}),
 t1 AS (SELECT image_id, caption, fy, h,
        UNNEST(generate_series(CAST(FLOOR(fx / {ts}) AS BIGINT),
                               CAST(FLOOR((fx + w * {fs}) / {ts}) AS BIGINT))) AS tx
@@ -874,4 +903,82 @@ SELECT CAST(FLOOR(ix / 25) AS BIGINT) AS bx,
        CAST(SUM(CASE WHEN {_SURF2} > v THEN {_SURF2} - v ELSE 0 END)
             AS BIGINT) AS fill
 FROM pix GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection via phash Hamming LSH
+# ---------------------------------------------------------------------------
+
+
+def phash_neardup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs: Hamming(phash_a, phash_b) <= max_hamming.
+
+    EXACT for max_hamming <= 3 by pigeonhole: the 64-bit hash splits into
+    4 16-bit chunks; any pair within Hamming 3 agrees on at least one chunk,
+    so the candidate set (equi-join on (chunk_index, chunk_value)) covers
+    every true pair. Plan: explode 4 chunk rows per image (narrow), shuffle
+    equi-join on the chunk key, exact bit_count(xor) refine, and the
+    multi-chunk duplicates collapse via min-chunk ownership (emit the match
+    only at the FIRST agreeing chunk index — no distinct shuffle). This is
+    the image-modality analogue of MinHash-LSH text dedup at 10^12 scale:
+    one narrow explode + one equi-join, both linear.
+    Output (okey_a, okey_b, hamming).
+    """
+    world.register_tables(spark, sf_dir)
+    meta = spark.sql(IMAGES_META_SQL).select("okey", "phash")
+    meta = planner.ensure_parallelism(meta)
+    chunks = meta.withColumn(
+        "ci", F.expr("explode(sequence(0, 3))")
+    ).selectExpr(
+        "okey", "phash", "ci",
+        "SHIFTRIGHT(phash, ci * 16) & 65535 AS chunk",
+    )
+    a = chunks.selectExpr("okey AS okey_a", "phash AS ph_a", "ci", "chunk")
+    b = chunks.selectExpr("okey AS okey_b", "phash AS ph_b", "ci", "chunk")
+    cand = a.join(b, on=["ci", "chunk"], how="inner").where(
+        F.col("okey_a") < F.col("okey_b")
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    hit = cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= F.lit(int(max_hamming))
+    )
+    # ownership: emit only at the smallest agreeing chunk index
+    first_ci = F.expr(
+        "CASE WHEN (SHIFTRIGHT(ph_a, 0) & 65535) = (SHIFTRIGHT(ph_b, 0) & 65535) THEN 0 "
+        "WHEN (SHIFTRIGHT(ph_a, 16) & 65535) = (SHIFTRIGHT(ph_b, 16) & 65535) THEN 1 "
+        "WHEN (SHIFTRIGHT(ph_a, 32) & 65535) = (SHIFTRIGHT(ph_b, 32) & 65535) THEN 2 "
+        "ELSE 3 END"
+    )
+    return (
+        hit.where(F.col("ci") == first_ci)
+        .select("okey_a", "okey_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def phash_neardup_oracle(max_hamming: int = 3) -> str:
+    return f"""
+WITH meta AS ({IMAGES_META_SQL_DUCK}),
+ph AS (SELECT okey, phash FROM meta),
+chunks AS (
+  SELECT okey, phash, g.generate_series AS ci,
+         (phash >> (g.generate_series * 16)) & 65535 AS chunk
+  FROM ph, generate_series(0, 3) g
+),
+cand AS (
+  SELECT a.okey AS okey_a, b.okey AS okey_b, a.phash AS ph_a,
+         b.phash AS ph_b, a.ci AS ci
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.chunk = b.chunk AND a.okey < b.okey
+),
+hit AS (
+  SELECT *, bit_count(xor(ph_a, ph_b)) AS hamming FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {int(max_hamming)}
+)
+SELECT okey_a, okey_b, CAST(hamming AS BIGINT) AS hamming FROM hit
+WHERE ci = (CASE
+  WHEN ((ph_a >> 0) & 65535) = ((ph_b >> 0) & 65535) THEN 0
+  WHEN ((ph_a >> 16) & 65535) = ((ph_b >> 16) & 65535) THEN 1
+  WHEN ((ph_a >> 32) & 65535) = ((ph_b >> 32) & 65535) THEN 2
+  ELSE 3 END)
 """

@@ -153,3 +153,31 @@ def test_kmeans_deterministic_and_partitioned(spark, layers):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert sum(r["n"] for r in a) == layers["events"].count()
     assert len(a) == 4
+
+
+def test_jenks_classes_are_contiguous_and_better_than_equal(spark, layers):
+    out = classify.classify_jenks(layers["events"], 5).collect()
+    assert len(out) == 5
+    # contiguous, non-overlapping value ranges covering all rows
+    out.sort(key=lambda r: r["cls"])
+    for a, b in zip(out, out[1:]):
+        assert a["vmax"] < b["vmin"]
+    assert sum(r["n"] for r in out) == layers["events"].count()
+    # DP optimality sanity: Jenks SSE <= equal-interval SSE on the same data
+    rows = [int(r["w"]) for r in layers["events"].select("w").collect()]
+
+    def sse_for(breaks):
+        groups = {}
+        for v in rows:
+            c = sum(1 for b in breaks if v > b)
+            groups.setdefault(c, []).append(v)
+        tot = 0.0
+        for vs in groups.values():
+            m = sum(vs) / len(vs)
+            tot += sum((v - m) ** 2 for v in vs)
+        return tot
+
+    jenks_breaks = [r["vmax"] for r in out[:-1]]
+    vmin, vmax = min(rows), max(rows)
+    eq_breaks = [vmin + (vmax - vmin) * (i + 1) / 5.0 for i in range(4)]
+    assert sse_for(jenks_breaks) <= sse_for(eq_breaks) + 1e-6

@@ -83,3 +83,27 @@ def test_tile_blocks_decode(spark, sf_dir):
         block = np.frombuffer(bytes(t.block), dtype=np.float32).reshape(ppt, ppt)
         assert int((block > 0).sum()) == t.npix
         assert math.isclose(float(block.sum()), t.sum_lum, rel_tol=1e-5)
+
+
+def test_phash_neardup_finds_planted_pairs(spark, sf_dir):
+    """Every planted (g, g+7) 2-bit pair is found, and nothing else."""
+    from opengxt_spark import raster as R
+
+    rows = R.phash_neardup(spark, sf_dir).collect()
+    got = {(r["okey_a"], r["okey_b"]): r["hamming"] for r in rows}
+    keys = {
+        int(r["okey"])
+        for r in R.images_meta(spark, sf_dir).select("okey").collect()
+    }
+    expected = {
+        (g, g + 7)
+        for g in keys
+        if g % 10 == 0 and (g + 7) in keys
+    }
+    planted = {k for k in got if k in expected}
+    assert planted == expected
+    for k in expected:
+        assert got[k] == 2
+    # non-planted pairs would need an accidental <=3-bit collision of two
+    # independent 63-bit scrambles -- astronomically unlikely
+    assert set(got) == expected
