@@ -707,3 +707,107 @@ def global_lees_s(points: DataFrame, band: float, v: str = "v") -> DataFrame:
     spatial smoothing concentration of one variable (x = y = v)."""
     out = global_lees_l(points, band, x=v, y=v)
     return out.select(F.col("lees_l").alias("lees_s"))
+
+
+def rogerson_r(
+    points: DataFrame,
+    band: float,
+    case_col: str = "case_v",
+    pop_col: str = "pop_v",
+    kappa: float = 1.0,
+) -> DataFrame:
+    """Rogerson's R (GlobalRogersonROperation.java:40-140): Tango's index
+    partitioned into goodness-of-fit + spatial-association components,
+    with a_ij = 1 for d<=1 else d^-kappa and w_ij = a_ij/sqrt(pi*pj).
+
+    Documented deviations (COVERAGE.md): (1) the reference's conceptually
+    unbounded inverse-distance weights are truncated at ``band`` — the
+    dense O(n^2) matrix cannot exist at scale and the 1/d tail is
+    negligible at analysis densities; (2) per-pair double terms are
+    quantized to 1e-12 units and summed as exact integers so the reduction
+    is order-free (the reference's serial double loop has no defined
+    order either); (3) the z-variance term is omitted — the reference's
+    own implementation marks it "TODO Verify" and it requires an O(n^3)
+    nested scan. Output: (r_obs, r_gof, r_sa, r_exp).
+    """
+    tot = points.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(case_col).cast("long").alias("sum_x"),
+        F.sum(pop_col).cast("long").alias("sum_y"),
+    )
+    # GOF: per-point, no pairs
+    g = points.crossJoin(F.broadcast(tot))
+    gof = g.select(
+        F.expr(
+            f"CAST(FLOOR(1e12 * "
+            f"(CAST({case_col} AS DOUBLE) / sum_x - CAST({pop_col} AS DOUBLE) / sum_y) "
+            f"* (CAST({case_col} AS DOUBLE) / sum_x - CAST({pop_col} AS DOUBLE) / sum_y) "
+            f"/ (CAST({pop_col} AS DOUBLE) / sum_y)) AS BIGINT)"
+        ).alias("gof_u")
+    ).agg(F.sum("gof_u").alias("gof_u"))
+    # SA + aijSum over band-truncated pairs (ordered pairs, self excluded)
+    pairs = distance_band_join(
+        points, points, band,
+        left_extra={"xi": case_col, "yi": pop_col},
+        right_extra={"xj": case_col, "yj": pop_col},
+    ).where(F.col("pid_l") != F.col("pid_r"))
+    pairs = pairs.crossJoin(F.broadcast(tot))
+    # kappa=1 avoids POW (not correctly-rounded in either engine; a 1-ulp
+    # difference could flip a FLOOR quantization bucket)
+    inv = "1.0 / dist" if float(kappa) == 1.0 else f"1.0 / POW(dist, {float(kappa)!r})"
+    aij = f"CASE WHEN dist <= 1.0 THEN 1.0 ELSE {inv} END"
+    stage = pairs.selectExpr(
+        "pid_l", "pid_r",
+        f"{aij} AS aij",
+        "CAST(xi AS DOUBLE) / sum_x - CAST(yi AS DOUBLE) / sum_y AS ripi",
+        "CAST(xj AS DOUBLE) / sum_x - CAST(yj AS DOUBLE) / sum_y AS rjpj",
+        "SQRT((CAST(yi AS DOUBLE) / sum_y) * (CAST(yj AS DOUBLE) / sum_y)) "
+        "AS pipj_sqrt",
+    )
+    pagg = stage.select(
+        F.expr(
+            "CAST(FLOOR(1e12 * (aij / pipj_sqrt) * ripi * rjpj) AS BIGINT)"
+        ).alias("sa_u"),
+        # reference sums aij*sqrt(pi*pj) over unordered pairs (j < i)
+        F.expr(
+            "CASE WHEN pid_r < pid_l THEN "
+            "CAST(FLOOR(1e12 * aij * pipj_sqrt) AS BIGINT) ELSE 0 END"
+        ).alias("aijs_u"),
+    ).agg(F.sum("sa_u").alias("sa_u"), F.sum("aijs_u").alias("aijs_u"))
+    row = tot.crossJoin(gof).crossJoin(pagg)
+    return row.selectExpr(
+        "ROUND((gof_u + sa_u) / 1e12, 6) AS r_obs",
+        "ROUND(gof_u / 1e12, 6) AS r_gof",
+        "ROUND(sa_u / 1e12, 6) AS r_sa",
+        "ROUND((CAST(m AS DOUBLE) - 1.0 - 2.0 * (aijs_u / 1e12)) "
+        "/ CAST(sum_x AS DOUBLE), 6) AS r_exp",
+    )
+
+
+def local_lees_l(
+    points: DataFrame, band: float, x: str = "v", y: str = "w"
+) -> DataFrame:
+    """Local Lee's L_i (LocalLeesLOperation.java:158): per-feature bivariate
+    smoothing product, normalized so that sum_i L_i / sum_i deg_i^2 equals
+    the global Lee's L (pytest-checked self-consistency). Output
+    (pid, lll_index)."""
+    st = joins.band_stats_join(points, points, band, value_col=x,
+                               value_col2=y)
+    mom = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(F.expr(f"{x} * {x}")).cast("long").alias("sxx"),
+        F.sum(F.expr(f"{y} * {y}")).cast("long").alias("syy"),
+    )
+    row = st.crossJoin(F.broadcast(mom))
+    return row.selectExpr(
+        "pid_l AS pid",
+        "ROUND(CAST(n AS DOUBLE) "
+        "* (CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n)) "
+        "* (CAST(sum_v2 AS DOUBLE) - cnt * (CAST(sy AS DOUBLE) / n)) "
+        "/ (SQRT(CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) "
+        "* (CAST(sx AS DOUBLE) / n)) "
+        "* SQRT(CAST(syy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n) "
+        "* (CAST(sy AS DOUBLE) / n))), 6) AS lll_index",
+    )

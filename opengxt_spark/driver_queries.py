@@ -1507,3 +1507,90 @@ def q_classify_jenks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["classify_jenks"] = q_classify_jenks
+
+
+_ROGERSON_ORACLE = world.with_layers(
+    """
+WITH pts AS (SELECT pid, x, y, w % 97 + 1 AS case_v, w % 89 + 1 AS pop_v
+             FROM points_events),
+tot AS (SELECT COUNT(*) AS m, CAST(SUM(case_v) AS BIGINT) AS sum_x,
+        CAST(SUM(pop_v) AS BIGINT) AS sum_y FROM pts),
+gof AS (SELECT CAST(SUM(CAST(FLOOR(1e12 *
+        (CAST(case_v AS DOUBLE) / sum_x - CAST(pop_v AS DOUBLE) / sum_y)
+        * (CAST(case_v AS DOUBLE) / sum_x - CAST(pop_v AS DOUBLE) / sum_y)
+        / (CAST(pop_v AS DOUBLE) / sum_y)) AS BIGINT)) AS BIGINT) AS gof_u
+        FROM pts CROSS JOIN tot),
+pr AS (SELECT a.pid AS pid_l, b.pid AS pid_r,
+       ROUND(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+         AS dist,
+       a.case_v AS xi, a.pop_v AS yi, b.case_v AS xj, b.pop_v AS yj
+       FROM pts a JOIN pts b
+         ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625.0
+        AND a.pid <> b.pid),
+st AS (SELECT pid_l, pid_r,
+       CASE WHEN dist <= 1.0 THEN 1.0 ELSE 1.0 / dist END AS aij,
+       CAST(xi AS DOUBLE) / sum_x - CAST(yi AS DOUBLE) / sum_y AS ripi,
+       CAST(xj AS DOUBLE) / sum_x - CAST(yj AS DOUBLE) / sum_y AS rjpj,
+       SQRT((CAST(yi AS DOUBLE) / sum_y) * (CAST(yj AS DOUBLE) / sum_y))
+         AS pipj_sqrt
+       FROM pr CROSS JOIN tot),
+pagg AS (SELECT
+  CAST(SUM(CAST(FLOOR(1e12 * (aij / pipj_sqrt) * ripi * rjpj) AS BIGINT))
+       AS BIGINT) AS sa_u,
+  CAST(SUM(CASE WHEN pid_r < pid_l THEN
+       CAST(FLOOR(1e12 * aij * pipj_sqrt) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS aijs_u
+  FROM st)
+SELECT ROUND((gof_u + sa_u) / 1e12, 6) AS r_obs,
+       ROUND(gof_u / 1e12, 6) AS r_gof,
+       ROUND(sa_u / 1e12, 6) AS r_sa,
+       ROUND((CAST(m AS DOUBLE) - 1.0 - 2.0 * (aijs_u / 1e12))
+             / CAST(sum_x AS DOUBLE), 6) AS r_exp
+FROM tot CROSS JOIN gof CROSS JOIN pagg
+""",
+    "points_events",
+)
+
+
+@_register("rogerson_r", _ROGERSON_ORACLE)
+def q_rogerson_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalRogersonRProcess: Tango GOF+SA partition, band-truncated
+    inverse-distance weights (deviations documented in the docstring)."""
+    pts = world.points_events(spark, sf_dir).selectExpr(
+        "pid", "x", "y", "w % 97 + 1 AS case_v", "w % 89 + 1 AS pop_v"
+    )
+    return autocorr.rogerson_r(pts, band=25.0)
+
+
+_LOCAL_LEES_ORACLE = world.with_layers(
+    """
+WITH pts AS (SELECT pid, x, y, w % 97 AS v, w FROM points_events),
+ist AS (SELECT l.pid AS pid_l, COUNT(*) AS cnt,
+        CAST(SUM(r.v) AS BIGINT) AS sum_v,
+        CAST(SUM(r.w) AS BIGINT) AS sum_v2
+        FROM pts l JOIN pts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid),
+mom AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+        CAST(SUM(w) AS BIGINT) AS sy, CAST(SUM(v * v) AS BIGINT) AS sxx,
+        CAST(SUM(w * w) AS BIGINT) AS syy FROM pts)
+SELECT pid_l AS pid,
+       ROUND(CAST(n AS DOUBLE)
+       * (CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n))
+       * (CAST(sum_v2 AS DOUBLE) - cnt * (CAST(sy AS DOUBLE) / n))
+       / (SQRT(CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n)
+          * (CAST(sx AS DOUBLE) / n))
+          * SQRT(CAST(syy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n)
+          * (CAST(sy AS DOUBLE) / n))), 6) AS lll_index
+FROM ist CROSS JOIN mom
+""",
+    "points_events",
+)
+
+
+@_register("local_lees_l", _LOCAL_LEES_ORACLE)
+def q_local_lees_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalLeesLProcess: per-feature bivariate smoothing product."""
+    return autocorr.local_lees_l(
+        _ac_points(spark, sf_dir), _AC_BAND, x="v", y="w"
+    )
