@@ -1594,3 +1594,18 @@ def q_local_lees_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr.local_lees_l(
         _ac_points(spark, sf_dir), _AC_BAND, x="v", y="w"
     )
+
+
+@_register("eliminate_slivers", overlay.eliminate_oracle(250.0))
+def q_eliminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EliminateProcess: one sliver-merge pass (area < 250 -> largest
+    intersecting neighbor; merged envelope per absorber)."""
+    return overlay.eliminate_slivers(
+        world.rects_customer(spark, sf_dir), min_area=250.0
+    )
+
+
+@_register("wind_rose_8", overlay.wind_rose_oracle())
+def q_wind_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindRoseMapProcess: 8-sector direction histogram, trig-free."""
+    return overlay.wind_rose(world.load_layer(spark, sf_dir, "lines_orders"))

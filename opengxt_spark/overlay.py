@@ -440,3 +440,165 @@ FROM (
 """,
         "lines_orders",
     )
+
+
+def eliminate_slivers(
+    rects: DataFrame, min_area: float, cell_size: float = cells.DEFAULT_CELL_SIZE
+) -> DataFrame:
+    """One elimination pass (EliminateOperation.java:82): every sliver
+    polygon (area < min_area) merges into its largest-area intersecting
+    neighbor; output the merged envelope per absorbing polygon.
+
+    The reference iterates until no slivers remain; a pass is the building
+    block (iterate by re-applying — each pass is one cell join + one
+    grouped reduce, so k passes cost k shuffles, never O(n^2)).
+    Output: (rid, n_absorbed, mxmin, mymin, mxmax, mymax).
+    """
+    cs = float(cell_size)
+    area = F.expr("4.0 * hw * hh")
+    base = planner.ensure_parallelism(rects).withColumn("area", area)
+    slivers = base.where(F.col("area") < F.lit(float(min_area)))
+    keepers = base.where(F.col("area") >= F.lit(float(min_area)))
+    s = cells.explode_extent_cells(
+        world.rect_corners(slivers.select(
+            F.col("rid").alias("srid"), F.col("cx").alias("scx"),
+            F.col("cy").alias("scy"), F.col("hw").alias("shw"),
+            F.col("hh").alias("shh"),
+        ).withColumns({"cx": F.col("scx"), "cy": F.col("scy"),
+                       "hw": F.col("shw"), "hh": F.col("shh")})),
+        cell_size=cs,
+    ).drop("cx", "cy", "hw", "hh", "xmin", "xmax", "ymin", "ymax")
+    k = cells.explode_extent_cells(
+        world.rect_corners(keepers), cell_size=cs
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    joined = s.join(k, on=["cell_x", "cell_y"], how="inner").where(
+        F.expr(
+            "ABS(scx - cx) <= shw + hw AND ABS(scy - cy) <= shh + hh"
+        )
+    )
+    # best absorber per sliver: max area, rid tie-break; multi-cell matches
+    # collapse inside the same min(struct) reduction (no distinct needed:
+    # duplicates of the SAME pair reduce to one value).
+    best = (
+        joined.groupBy("srid")
+        .agg(F.min(F.struct(
+            (F.lit(0.0) - F.expr("4.0 * hw * hh")).alias("neg_area"),
+            F.col("rid"),
+            F.expr("scx - shw").alias("sxmin"),
+            F.expr("scy - shh").alias("symin"),
+            F.expr("scx + shw").alias("sxmax"),
+            F.expr("scy + shh").alias("symax"),
+        )).alias("_b"))
+        .select(
+            F.col("_b.rid").alias("rid"),
+            F.col("_b.sxmin").alias("sxmin"), F.col("_b.symin").alias("symin"),
+            F.col("_b.sxmax").alias("sxmax"), F.col("_b.symax").alias("symax"),
+        )
+    )
+    kk = keepers.select(
+        "rid",
+        F.expr("cx - hw").alias("kxmin"), F.expr("cy - hh").alias("kymin"),
+        F.expr("cx + hw").alias("kxmax"), F.expr("cy + hh").alias("kymax"),
+    )
+    return (
+        best.join(kk, on="rid")
+        .groupBy("rid")
+        .agg(
+            F.count(F.lit(1)).alias("n_absorbed"),
+            F.round(F.least(F.min("sxmin"), F.first("kxmin")), 6).alias("mxmin"),
+            F.round(F.least(F.min("symin"), F.first("kymin")), 6).alias("mymin"),
+            F.round(F.greatest(F.max("sxmax"), F.first("kxmax")), 6).alias("mxmax"),
+            F.round(F.greatest(F.max("symax"), F.first("kymax")), 6).alias("mymax"),
+        )
+    )
+
+
+def eliminate_oracle(min_area: float) -> str:
+    ma = dlit(float(min_area))
+    return world.with_layers(
+        f"""
+WITH base AS (SELECT rid, cx, cy, hw, hh, 4.0 * hw * hh AS area
+              FROM rects_customer),
+slv AS (SELECT * FROM base WHERE area < {ma}),
+kp AS (SELECT * FROM base WHERE area >= {ma}),
+best AS (
+  SELECT srid, rid, sxmin, symin, sxmax, symax FROM (
+    SELECT s.rid AS srid, k.rid AS rid,
+           s.cx - s.hw AS sxmin, s.cy - s.hh AS symin,
+           s.cx + s.hw AS sxmax, s.cy + s.hh AS symax,
+           ROW_NUMBER() OVER (PARTITION BY s.rid
+             ORDER BY k.area DESC, k.rid ASC) AS rn
+    FROM slv s JOIN kp k
+      ON ABS(s.cx - k.cx) <= s.hw + k.hw AND ABS(s.cy - k.cy) <= s.hh + k.hh
+  ) WHERE rn = 1
+)
+SELECT b.rid AS rid, CAST(COUNT(*) AS BIGINT) AS n_absorbed,
+       ROUND(LEAST(MIN(b.sxmin), MIN(k.cx - k.hw)), 6) AS mxmin,
+       ROUND(LEAST(MIN(b.symin), MIN(k.cy - k.hh)), 6) AS mymin,
+       ROUND(GREATEST(MAX(b.sxmax), MAX(k.cx + k.hw)), 6) AS mxmax,
+       ROUND(GREATEST(MAX(b.symax), MAX(k.cy + k.hh)), 6) AS mymax
+FROM best b JOIN kp k ON b.rid = k.rid
+GROUP BY b.rid
+""",
+        "rects_customer",
+    )
+
+
+def wind_rose(segments: DataFrame) -> DataFrame:
+    """8-sector direction histogram of a segment layer (WindRoseMapProcess,
+    WindroseFeatureCollection.java:53). Sector from sign/magnitude
+    comparisons of (dx, dy) — no atan2, so both engines agree exactly:
+    sectors 0..7 anticlockwise from East, 45 degrees each.
+    Output (sector, n, len_sum)."""
+    df = planner.ensure_parallelism(segments).selectExpr(
+        "lid", "x2 - x1 AS dx", "y2 - y1 AS dy",
+        "SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len",
+    )
+    sector = (
+        "CASE "
+        "WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0 "
+        "WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1 "
+        "WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2 "
+        "WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 3 "
+        "WHEN dy < 0 AND dx <= 0 AND -dx >= -dy THEN 4 "
+        "WHEN dy < 0 AND dx <= 0 THEN 5 "
+        "WHEN dy < 0 AND dx > 0 AND -dy > dx THEN 6 "
+        "ELSE 7 END"
+    )
+    return (
+        df.withColumn("sector", F.expr(sector))
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(
+                F.expr("CAST(FLOOR(seg_len * 1000000.0) AS BIGINT)")
+            ) / 1e6, 6).alias("len_sum"),
+        )
+    )
+
+
+def wind_rose_oracle() -> str:
+    sector = (
+        "CASE "
+        "WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0 "
+        "WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1 "
+        "WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2 "
+        "WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 3 "
+        "WHEN dy < 0 AND dx <= 0 AND -dx >= -dy THEN 4 "
+        "WHEN dy < 0 AND dx <= 0 THEN 5 "
+        "WHEN dy < 0 AND dx > 0 AND -dy > dx THEN 6 "
+        "ELSE 7 END"
+    )
+    return world.with_layers(
+        f"""
+SELECT {sector} AS sector, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(seg_len * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1e6, 6) AS len_sum
+FROM (
+  SELECT lid, x2 - x1 AS dx, y2 - y1 AS dy,
+         SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+  FROM lines_orders
+) GROUP BY 1
+""",
+        "lines_orders",
+    )

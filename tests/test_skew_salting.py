@@ -1,0 +1,71 @@
+"""Skew handling: salted cell join correctness + plan shape.
+
+north_rule: "partitioning / shuffle / skew handled explicitly". The salted
+strategy spreads one pathologically hot cell over n_salt tasks by salting
+the probe side and exploding the build side across salt values
+(planner.cell_join strategy="salted").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opengxt_spark import cells, joins, planner, world
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_points(spark):
+    """All 5000 points inside ONE 25x25 cell — the worst-case hot cell."""
+    return spark.range(5000).selectExpr(
+        "id AS pid",
+        "5.0 + CAST((id * 2654435761) % 20000 AS DOUBLE) / 1000.0 AS x",
+        "5.0 + CAST((id * 1597334677) % 20000 AS DOUBLE) / 1000.0 AS y",
+        "id % 7 AS w",
+    )
+
+
+def _rects_over_hot_cell(spark):
+    """20 rects overlapping the hot cell (and some empty space)."""
+    return spark.range(20).selectExpr(
+        "id AS rid",
+        "CAST(5 + id * 2 AS DOUBLE) AS cx",
+        "CAST(5 + (id * 7) % 25 AS DOUBLE) AS cy",
+        "CAST(3 + id % 5 AS DOUBLE) AS hw",
+        "CAST(3 + id % 4 AS DOUBLE) AS hh",
+    )
+
+
+def test_salted_join_equals_plain(spark):
+    pts = _skewed_points(spark)
+    rects = _rects_over_hot_cell(spark)
+    plain = joins.pip_count_join(pts, rects, strategy="shuffle").collect()
+    salted = joins.pip_count_join(pts, rects, strategy="salted").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    assert len(plain) > 0
+
+
+def test_salted_plan_has_salt_key(spark):
+    pts = _skewed_points(spark)
+    rects = world.rects_customer(spark, SF)
+    p = cells.with_point_cells(pts)
+    r = cells.explode_extent_cells(world.rect_corners(rects))
+    df = planner.cell_join(
+        p, r, world.rect_contains_sql("x", "y"), strategy="salted", n_salt=8
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_salted_spreads_hot_cell(spark):
+    """The hot cell's rows land in multiple salt buckets."""
+    pts = _skewed_points(spark)
+    p = cells.with_point_cells(pts)
+    salted = p.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("pid")), F.lit(8)).cast("int")
+    )
+    n_buckets = (
+        salted.groupBy("cell_x", "cell_y", "_salt").count().count()
+    )
+    # one cell, 8 salts -> 8 buckets
+    assert n_buckets == 8
