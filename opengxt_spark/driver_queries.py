@@ -1609,3 +1609,91 @@ def q_eliminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wind_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WindRoseMapProcess: 8-sector direction histogram, trig-free."""
     return overlay.wind_rose(world.load_layer(spark, sf_dir, "lines_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Cartographic derivations: OD flow map + polar grid
+# ---------------------------------------------------------------------------
+
+_FLOW_ORACLE = world.with_layers(
+    """
+WITH flows AS (
+  SELECT o.o_custkey AS ckey, l.l_suppkey AS skey,
+         CAST(SUM(l.l_quantity) AS BIGINT) AS flow_qty,
+         COUNT(*) AS n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)
+SELECT f.ckey AS ckey, f.skey AS skey, f.flow_qty AS flow_qty,
+       CAST(f.n_items AS BIGINT) AS n_items,
+       ROUND(c.cx, 6) AS x1, ROUND(c.cy, 6) AS y1,
+       ROUND(h.cx, 6) AS x2, ROUND(h.cy, 6) AS y2
+FROM flows f
+JOIN rects_customer c ON f.ckey = c.rid
+JOIN hex_supplier h ON f.skey = h.hid
+WHERE f.flow_qty >= 100
+""",
+    "rects_customer", "hex_supplier",
+)
+
+
+@_register("flow_map_od", _FLOW_ORACLE)
+def q_flow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlowMapProcess: origin-destination flows (customer rect center ->
+    supplier hex center) weighted by lineitem quantity — the one query
+    exercising real TPC-H relational joins + spatial construction."""
+    world.register_layers(spark, sf_dir)
+    return spark.sql(
+        """
+WITH flows AS (
+  SELECT o.o_custkey AS ckey, l.l_suppkey AS skey,
+         CAST(SUM(l.l_quantity) AS BIGINT) AS flow_qty,
+         COUNT(*) AS n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)
+SELECT f.ckey AS ckey, f.skey AS skey, f.flow_qty AS flow_qty,
+       CAST(f.n_items AS BIGINT) AS n_items,
+       ROUND(c.cx, 6) AS x1, ROUND(c.cy, 6) AS y1,
+       ROUND(h.cx, 6) AS x2, ROUND(h.cy, 6) AS y2
+FROM flows f
+JOIN rects_customer c ON f.ckey = c.rid
+JOIN hex_supplier h ON f.skey = h.hid
+WHERE f.flow_qty >= 100
+"""
+    )
+
+
+_POLAR_N_RINGS = 5
+_POLAR_N_SECTORS = 12
+_POLAR_ORACLE = f"""
+SELECT uid,
+       CAST(uid % {_POLAR_N_SECTORS} AS BIGINT) AS sector,
+       CAST(FLOOR(uid / {_POLAR_N_SECTORS}) AS BIGINT) AS ring,
+       ROUND(CAST(FLOOR(uid / {_POLAR_N_SECTORS}) AS DOUBLE) * 50.0, 6)
+         AS r_in,
+       ROUND((CAST(FLOOR(uid / {_POLAR_N_SECTORS}) AS DOUBLE) + 1.0) * 50.0, 6)
+         AS r_out,
+       ROUND(CAST(uid % {_POLAR_N_SECTORS} AS DOUBLE)
+             * (360.0 / {_POLAR_N_SECTORS}), 6) AS a0_deg
+FROM (SELECT generate_series AS uid
+      FROM generate_series(0, {_POLAR_N_RINGS * _POLAR_N_SECTORS - 1}))
+"""
+
+
+@_register("polar_grid", _POLAR_ORACLE)
+def q_polar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolarGridsFromFeaturesProcess: ring x sector lattice (closed-form
+    parameters; trig-free)."""
+    n = _POLAR_N_RINGS * _POLAR_N_SECTORS
+    return spark.range(n).selectExpr(
+        "id AS uid",
+        f"CAST(id % {_POLAR_N_SECTORS} AS BIGINT) AS sector",
+        f"CAST(FLOOR(id / {_POLAR_N_SECTORS}) AS BIGINT) AS ring",
+        f"ROUND(CAST(FLOOR(id / {_POLAR_N_SECTORS}) AS DOUBLE) * 50.0, 6)"
+        " AS r_in",
+        f"ROUND((CAST(FLOOR(id / {_POLAR_N_SECTORS}) AS DOUBLE) + 1.0) * 50.0,"
+        " 6) AS r_out",
+        f"ROUND(CAST(id % {_POLAR_N_SECTORS} AS DOUBLE)"
+        f" * (360.0 / {_POLAR_N_SECTORS}), 6) AS a0_deg",
+    )
