@@ -51,21 +51,37 @@ def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
     )
 
 
+def adaptive_cell_size(rects: DataFrame) -> float:
+    """Cell size matched to the polygon layer's typical extent — the
+    reference's adaptive-default pattern (SURVEY §4.1: cell = extent/250,
+    band = max-NN-distance; here cell ~ mean rect dimension). Candidate
+    count per probe point scales with (w + cs)(h + cs)/area, minimized
+    near cs ~ the geometry size; one cheap agg at plan time decides it.
+    """
+    row = rects.agg(
+        F.avg(F.expr("GREATEST(hw, hh)")).alias("m")
+    ).collect()[0]
+    m = float(row["m"] or cells.DEFAULT_CELL_SIZE / 2)
+    return min(max(2.0 * m, 4.0), 200.0)
+
+
 def pip_count_join(
     points: DataFrame,
     rects: DataFrame,
     weight_col: str | None = "w",
-    cell_size: float = cells.DEFAULT_CELL_SIZE,
+    cell_size: float | None = None,
     strategy: str | None = None,
 ) -> DataFrame:
     """Per rectangle-polygon: count and weight-sum of contained points.
 
     Returns (rid, cnt, sum_w). A point has exactly one cell so no pair
     dedup is needed (SURVEY.md §2.4 dedup rule is only for multi-cell
-    probe sides).
+    probe sides). cell_size defaults to the adaptive estimate from the
+    rect layer's dimensions.
     """
-    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cell_size)
-    r = _prep_rects(rects, cell_size)
+    cs = float(cell_size) if cell_size else adaptive_cell_size(rects)
+    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cs)
+    r = _prep_rects(rects, cs)
     joined = planner.cell_join(p, r, world.rect_contains_sql("x", "y"), strategy)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if weight_col:

@@ -1,0 +1,78 @@
+"""Structured Streaming surface: incremental spatial binning.
+
+The reference is strictly batch (SURVEY.md §2.12 — WPS request/response,
+no watermarks or stateful operators anywhere), so streaming is an
+*extension* of the engine, not a parity item: the same closed-form bin
+assignment expressions run over `readStream` micro-batches, giving
+incremental versions of the binning/tiling operators for append-only
+feeds (the shape of a continuously-ingested 10^12-image table).
+
+Design: file-source streaming over a parquet directory; event time =
+ingest time column; watermark bounds state for windowed aggregation. The
+aggregation is the identical `rect_bin_stages` SQL used by the batch
+operator, so a complete stream replay equals the batch result exactly
+(pytest-checked with the availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .binning import BBox, WORLD_BBOX, rect_bin_stages
+
+
+def stream_rect_bins(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    bbox: BBox = WORLD_BBOX,
+    columns: int = 40,
+    rows: int = 25,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming rectangular binning: per (window, col, row) weight sums.
+
+    Returns a streaming DataFrame; callers attach a sink
+    (``.writeStream``). State is bounded by the event-time watermark —
+    late rows beyond it are dropped, everything else lands in its
+    10-second window exactly once per micro-batch.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    staged = src
+    for name, sql in rect_bin_stages(bbox, columns, rows):
+        staged = staged.withColumn(name, F.expr(sql))
+    staged = staged.where(
+        (F.col("col") >= 0) & (F.col("row") >= 0)
+        & (F.col("col") < columns) & (F.col("row") < rows)
+    )
+    return (
+        staged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 seconds").alias("win"), "col", "row")
+        .agg(F.sum("w").cast("long").alias("val"))
+        .select("win.start", "col", "row", "val")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str):
+    """Drain everything currently in the source into an in-memory table and
+    stop — the deterministic replay mode used by tests and backfills.
+
+    Complete output mode: append would hold back any window the watermark
+    has not passed when the source drains (the final batch's windows never
+    emit), while complete re-materializes the full aggregate each batch —
+    the right semantics for a bounded replay.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,45 @@
+"""Streaming binning: complete replay equals the batch operator."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opengxt_spark import binning, streaming, world
+
+SF = "/root/testdata/sf0.001"
+
+SCHEMA = T.StructType([
+    T.StructField("pid", T.LongType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("w", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def test_stream_replay_equals_batch(spark, tmp_path):
+    pts = world.points_events(spark, SF).select("pid", "x", "y", "w")
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    pts = pts.withColumn(
+        "ts",
+        F.lit(base) + F.expr("make_interval(0, 0, 0, 0, 0, 0, pid % 5)"),
+    )
+    # two micro-batch files
+    src = str(tmp_path / "stream_src")
+    pts.where("pid % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    pts.where("pid % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = streaming.stream_rect_bins(spark, src, SCHEMA)
+    streaming.run_available_now(stream_df, "bins_replay")
+    got = (
+        spark.table("bins_replay")
+        .groupBy("col", "row")
+        .agg(F.sum("val").cast("long").alias("val"))
+        .collect()
+    )
+    want = binning.rect_binning(pts, binning.WORLD_BBOX, 40, 25).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0

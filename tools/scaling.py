@@ -21,9 +21,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cores: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
-    env.setdefault("BENCH_REPEAT", "3")  # min-of-3: the sandbox shares the
-    # box with a background load of ~8 cores; the minimum is the least-noise
-    # steady-state estimate
+    # Reproducible defaults for the reported study (override via env):
+    # BENCH_SCALE=24 gives every query enough work to amortize constant
+    # scheduling/compile costs at the low-parallelism level; min-of-2
+    # bounds wall time; 64 shuffle partitions at BOTH levels keeps the
+    # task graph identical so the comparison isolates core count.
+    env.setdefault("BENCH_SCALE", "24")
+    env.setdefault("BENCH_REPEAT", "2")
+    env.setdefault("BENCH_SHUFFLE_PARTITIONS", "64")
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -55,8 +60,8 @@ def main() -> None:
         ts, tb = small["queries"][q], big["queries"][q]
         rows.append((q, ts, tb, ts / tb, (ts / tb) / factor))
 
-    scale = os.environ.get("BENCH_SCALE", "8")
-    repeat = os.environ.get("BENCH_REPEAT", "3")
+    scale = os.environ.get("BENCH_SCALE", "24")
+    repeat = os.environ.get("BENCH_REPEAT", "2")
     shuffle = os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64")
     lines = [
         "# BENCH — scaling evidence (north_rule)",
