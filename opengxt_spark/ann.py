@@ -164,3 +164,88 @@ pairs AS (
 SELECT CAST(vid_a AS BIGINT) AS vid_a, CAST(vid_b AS BIGINT) AS vid_b, cos
 FROM pairs WHERE cos >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH top-k (the scale path; brute cosine_topk is its small-n
+# oracle — tests/test_ann.py checks recall against it)
+# ---------------------------------------------------------------------------
+
+
+def _probe_list_spark(b: str) -> str:
+    """Own bucket + all 8 Hamming-distance-1 buckets (bit flips)."""
+    flips = ", ".join(f"CAST({b} ^ {1 << j} AS BIGINT)" for j in range(N_PLANES))
+    return f"array(CAST({b} AS BIGINT), {flips})"
+
+
+def _probe_list_duck(b: str) -> str:
+    flips = ", ".join(f"CAST(xor({b}, {1 << j}) AS BIGINT)" for j in range(N_PLANES))
+    return f"[CAST({b} AS BIGINT), {flips}]"
+
+
+def ann_topk_lsh(spark: SparkSession, k: int = 5, query_mod: int = 25) -> DataFrame:
+    """Approximate top-k cosine via multi-probe LSH: each query probes its
+    own hyperplane bucket plus the 8 Hamming-1 buckets, then ranks the
+    bucket candidates by exact cosine. Output (qid, nid, cos, rnk).
+
+    The physical plan is bucket-equi-join + per-query window — candidate
+    count scales with bucket occupancy (n / 2^planes per probe), never
+    all-pairs; the 9x probe explode is a narrow Generate on the (tiny)
+    query side. The brute-force ``cosine_topk`` is the exact baseline this
+    approximates (recall measured in tests at small n).
+    """
+    lsh_buckets(spark).createOrReplaceTempView("_mp_buckets")
+    spark.sql(f"""
+SELECT vec_id AS qid, explode({_probe_list_spark('bucket')}) AS pbucket
+FROM _mp_buckets WHERE vec_id % {query_mod} = 0
+""").createOrReplaceTempView("_mp_probes")
+    dot = _dot_spark("ea.embedding", "eb.embedding")
+    na = _dot_spark("ea.embedding", "ea.embedding")
+    nb = _dot_spark("eb.embedding", "eb.embedding")
+    return spark.sql(f"""
+SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM (
+    SELECT p.qid, c.vec_id AS nid,
+           {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+    FROM _mp_probes p
+    JOIN _mp_buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.qid
+    JOIN embeddings ea ON ea.vec_id = p.qid
+    JOIN embeddings eb ON eb.vec_id = c.vec_id
+  )
+) WHERE rnk <= {k}
+""")
+
+
+def ann_topk_lsh_oracle(k: int = 5, query_mod: int = 25) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_duck(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    dot = _dot_duck("ea.embedding", "eb.embedding")
+    na = _dot_duck("ea.embedding", "ea.embedding")
+    nb = _dot_duck("eb.embedding", "eb.embedding")
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS qid, UNNEST({_probe_list_duck('bucket')}) AS pbucket
+  FROM buckets WHERE vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT p.qid, c.vec_id AS nid,
+         {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+  FROM probes p
+  JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.qid
+  JOIN embeddings ea ON ea.vec_id = p.qid
+  JOIN embeddings eb ON eb.vec_id = c.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {k}
+"""

@@ -472,7 +472,7 @@ def quadrat(points: DataFrame, bbox, columns: int, rows: int) -> DataFrame:
     (n_quadrats, n_points, mean, variance, vmr)."""
     from .binning import apply_stages, rect_bin_stages
 
-    df = apply_stages(points, rect_bin_stages(bbox, columns, rows))
+    df = apply_stages(points, rect_bin_stages(bbox, columns, rows), fence=True)
     df = df.where(
         (F.col("col") >= 0) & (F.col("row") >= 0)
         & (F.col("col") < columns) & (F.col("row") < rows)

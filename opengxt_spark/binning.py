@@ -33,25 +33,46 @@ BBox = tuple[float, float, float, float]  # minx, miny, maxx, maxy
 WORLD_BBOX: BBox = (0.0, 0.0, 1000.0, 1000.0)
 
 
+_FENCE_COUNTER = [0]
+
+
+def pushdown_fence(df: DataFrame) -> DataFrame:
+    """Optimizer fence: stop filter pushdown from re-expanding a deep
+    projection chain.
+
+    Spark 4 pushes filters (even non-deterministic ones) through every
+    deterministic Project, substituting column aliases as it goes. Through a
+    deep stage chain that substitution duplicates shared subtrees
+    exponentially — the 12-stage hex assignment became a 180KB Filter
+    directly over the scan, which exceeds janino's 64KB method limit and
+    re-pays a failed whole-stage-codegen compile (~1.5s, serial) on EVERY
+    execution. A ``CollectMetrics`` node (``Dataset.observe``) is a
+    lineage-preserving barrier the optimizer will not move predicates
+    across (doing so would change the observed metrics), while column
+    pruning still reaches the scan. Cost: one count accumulator per task.
+    """
+    _FENCE_COUNTER[0] += 1
+    return df.observe(f"_fence_{_FENCE_COUNTER[0]}", F.count(F.lit(1)))
+
+
 def apply_stages(
-    df: DataFrame, stages: list[tuple[str, str]], barrier_every: int = 3
+    df: DataFrame, stages: list[tuple[str, str]], fence: bool = False
 ) -> DataFrame:
     """Apply named SQL-fragment stages as sequential projections.
 
-    Catalyst's CollapseProject would inline every stage into its consumers,
-    duplicating shared subtrees exponentially through a deep stage chain (the
-    12-stage hex assignment exceeded the 64KB codegen limit and spent ~70s
-    compiling). A no-op non-deterministic column every few stages blocks the
-    collapse, so each stage group compiles once and the rows still stream
-    through a single pipelined task — same plan shape, ~15x faster.
+    Spark 4's cost-aware CollapseProject keeps each stage its own Project
+    (multiply-referenced aliases are not inlined), so the chain compiles in
+    small per-projection methods. Pass ``fence=True`` when a *filter on the
+    staged columns* follows a deep single-table chain — pushdown would
+    otherwise substitute the whole chain into one exponential predicate
+    (see pushdown_fence). Leave it off on hot exploded paths (the fence's
+    CollectMetrics accumulator is interpreted per row — 3-40x overhead on a
+    10^8-row Generate output) and after joins (filters referencing both
+    sides stop at the join boundary on their own).
     """
-    for i, (name, sql) in enumerate(stages):
+    for name, sql in stages:
         df = df.withColumn(name, F.expr(sql))
-        if barrier_every and i % barrier_every == barrier_every - 1:
-            df = df.withColumn("_stage_barrier", F.monotonically_increasing_id())
-    if "_stage_barrier" in df.columns:
-        df = df.drop("_stage_barrier")
-    return df
+    return pushdown_fence(df) if fence else df
 
 
 def stages_to_subquery(base: str, stages: list[tuple[str, str]]) -> str:
@@ -93,6 +114,7 @@ def rect_binning(
     df = apply_stages(
         planner.ensure_parallelism(points),
         rect_bin_stages(bbox, columns, rows, x, y),
+        fence=True,  # the range filter below must not push through the chain
     )
     df = df.where(
         (F.col("col") >= 0)
@@ -224,7 +246,10 @@ def hex_binning(
     out-of-range points dropped (HexagonalBinningVisitor.java:144-146).
     """
     spec = hex_grid_spec(bbox, size)
-    df = apply_stages(planner.ensure_parallelism(points), hex_bin_stages(spec, x, y))
+    df = apply_stages(
+        planner.ensure_parallelism(points), hex_bin_stages(spec, x, y),
+        fence=True,  # the range filter below must not push through the chain
+    )
     df = df.where(
         (F.col("col") >= 0)
         & (F.col("row") >= 0)

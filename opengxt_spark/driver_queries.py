@@ -1697,3 +1697,297 @@ def q_polar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(CAST(id % {_POLAR_N_SECTORS} AS DOUBLE)"
         f" * (360.0 / {_POLAR_N_SECTORS}), 6) AS a0_deg",
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlay difference family (overlay_diff.py)
+# ---------------------------------------------------------------------------
+
+from . import overlay_diff  # noqa: E402
+
+
+@_register("difference_rects", overlay_diff.difference_oracle())
+def q_difference_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DifferenceProcess: A minus union(B) per feature (exact slab-sweep
+    union area; empty differences dropped)."""
+    return overlay_diff.difference_rects(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+@_register("sym_difference_rects", overlay_diff.sym_difference_oracle())
+def q_sym_difference_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymDifferenceProcess: Difference(A,B) union Difference(B,A)."""
+    return overlay_diff.sym_difference_rects(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+@_register("identity_rects", overlay_diff.identity_oracle())
+def q_identity_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdentityProcess: pairwise A∩B pieces + A remainders."""
+    return overlay_diff.identity_rects(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+@_register("update_rects", overlay_diff.update_oracle())
+def q_update_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateProcess: B features + A remainders."""
+    return overlay_diff.update_rects(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+@_register("clip_with_features", overlay_diff.clip_with_features_oracle())
+def q_clip_with_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClipWithFeaturesProcess: A clipped to union(B) (clip area per
+    surviving feature)."""
+    return overlay_diff.clip_with_features(
+        world.rects_customer(spark, sf_dir),
+        world.load_layer(spark, sf_dir, "rects_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weights-matrix conceptualizations (weights.py): InverseDistance, kNN,
+# Queen contiguity, Row standardization, adaptive default band
+# ---------------------------------------------------------------------------
+
+from . import weights  # noqa: E402
+
+
+def _idw_moran_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg CROSS JOIN s1 CROSS JOIN s2x",
+        weights.GENERAL_MORAN_STAGES,
+    )
+    zp = autocorr.zprob_both_sql("z_score")
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+dpairs AS (SELECT a.pid AS pid_l, b.pid AS pid_r, a.v AS vi, b.v AS vj,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+           FROM pts a JOIN pts b
+             ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100.0
+            AND a.pid <> b.pid),
+wp AS (SELECT *, {weights.IDW_WQ_SQL} AS wq FROM dpairs),
+{_AC_MOMENTS_CTE},
+pagg AS (SELECT CAST(SUM(wq) AS BIGINT) AS s0q,
+         CAST(SUM(wq * vi * vj) AS BIGINT) AS p11q,
+         CAST(SUM(wq * vi) AS BIGINT) AS plq,
+         CAST(SUM(wq * vj) AS BIGINT) AS prq FROM wp),
+s1 AS (SELECT CAST(SUM(4 * wq * wq) AS BIGINT) AS s1q FROM wp),
+s2x AS (SELECT CAST(SUM(4 * rq * rq) AS BIGINT) AS s2xq FROM
+        (SELECT pid_l, CAST(SUM(wq) AS BIGINT) AS rq FROM wp GROUP BY pid_l))
+SELECT ROUND(moran_i, 6) AS moran_i, ROUND(expected_i, 6) AS expected_i,
+       ROUND(z_var, 6) AS z_var, ROUND(z_score, 6) AS z_score,
+       ROUND({zp}, 6) AS p_value
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("global_morans_i_idw", _idw_moran_oracle())
+def q_global_moran_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I, InverseDistance conceptualization (clamped 1/d,
+    quantized integer weights), band=10."""
+    pts = _ac_points(spark, sf_dir)
+    return weights.general_moran(weights.idw_band_pairs(pts, _AC_BAND), pts)
+
+
+def _local_moran_rowstd_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments",
+        weights.LOCAL_MORAN_ROWSTD_STAGES,
+    )
+    zp = autocorr.zprob_both_sql("lmi_z")
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+{_AC_PAIRS_CTE},
+nself AS (SELECT * FROM pairs WHERE pid_l <> pid_r),
+{_AC_MOMENTS_CTE},
+per_i AS (SELECT pid_l AS pid, vi AS v, COUNT(*) AS deg,
+          CAST(SUM(vj) AS BIGINT) AS nbr_sum FROM nself GROUP BY pid_l, vi)
+SELECT pid, ROUND(lmi_index, 6) AS lmi_index, ROUND(lmi_z, 6) AS lmi_z,
+       ROUND({zp}, 6) AS lmi_p, co_type
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("local_morans_i_rowstd", _local_moran_rowstd_oracle())
+def q_local_moran_rowstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA under Row standardization (the reference's default
+    StandardizationMethod), band=10."""
+    return weights.local_moran_rowstd(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+_KNN_G_K = 8
+_KNN_G_RADIUS = 50.0
+
+
+def _local_g_knn_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", autocorr.LOCAL_G_STAGES
+    )
+    r2 = world.dlit(_KNN_G_RADIUS * _KNN_G_RADIUS)
+    return world.with_layers(
+        f"""
+WITH {_AC_PTS_CTE},
+ranked AS (
+  SELECT * FROM (
+    SELECT a.pid AS pid_l, a.v AS vi, b.pid AS pid_r, b.v AS vj,
+           ROW_NUMBER() OVER (PARTITION BY a.pid
+             ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) ASC,
+                      b.pid ASC) AS rn
+    FROM pts a JOIN pts b
+      ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {r2}
+     AND a.pid <> b.pid
+  ) WHERE rn <= {_KNN_G_K}
+),
+{_AC_MOMENTS_CTE},
+per_i AS (SELECT pid_l AS pid, vi AS v,
+          CAST(COUNT(*) + 1 AS BIGINT) AS deg_s,
+          CAST(SUM(vj) + vi AS BIGINT) AS loc_sum
+          FROM ranked GROUP BY pid_l, vi)
+SELECT pid, ROUND(gi_z, 6) AS gi_z, ROUND(gi_p, 6) AS gi_p,
+       ROUND(gi_mean, 6) AS gi_mean, ROUND(gi_var, 6) AS gi_var
+FROM {nested}
+""",
+        "points_events",
+    )
+
+
+@_register("local_g_knn8", _local_g_knn_oracle())
+def q_local_g_knn8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi* under the kNN (k=8) conceptualization, selfNeighbors=true."""
+    return weights.local_g_knn(
+        _ac_points(spark, sf_dir), k=_KNN_G_K, radius=_KNN_G_RADIUS
+    )
+
+
+_QUEEN_V_SQL = "CAST(FLOOR(ABS(bal) * 100.0) AS BIGINT) % 97"
+
+
+def _queen_moran_oracle() -> str:
+    from .overlay_diff import mm_sql
+
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg CROSS JOIN s1 CROSS JOIN s2x",
+        weights.GENERAL_MORAN_STAGES,
+    )
+    zp = autocorr.zprob_both_sql("z_score")
+    return world.with_layers(
+        f"""
+WITH rm AS (SELECT rid, {_QUEEN_V_SQL} AS v,
+            {mm_sql('cx - hw')} AS x0, {mm_sql('cx + hw')} AS x1,
+            {mm_sql('cy - hh')} AS y0, {mm_sql('cy + hh')} AS y1
+            FROM rects_customer),
+wp AS (SELECT a.rid AS pid_l, b.rid AS pid_r, a.v AS vi, b.v AS vj,
+       CAST({weights.Q} AS BIGINT) AS wq
+       FROM rm a JOIN rm b
+         ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+        AND a.rid <> b.rid),
+moments AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+            CAST(SUM(v * v) AS BIGINT) AS s2,
+            CAST(SUM(v * v * v) AS BIGINT) AS s3,
+            CAST(SUM(v * v * v * v) AS BIGINT) AS s4 FROM rm),
+pagg AS (SELECT CAST(SUM(wq) AS BIGINT) AS s0q,
+         CAST(SUM(wq * vi * vj) AS BIGINT) AS p11q,
+         CAST(SUM(wq * vi) AS BIGINT) AS plq,
+         CAST(SUM(wq * vj) AS BIGINT) AS prq FROM wp),
+s1 AS (SELECT CAST(SUM(4 * wq * wq) AS BIGINT) AS s1q FROM wp),
+s2x AS (SELECT CAST(SUM(4 * rq * rq) AS BIGINT) AS s2xq FROM
+        (SELECT pid_l, CAST(SUM(wq) AS BIGINT) AS rq FROM wp GROUP BY pid_l))
+SELECT ROUND(moran_i, 6) AS moran_i, ROUND(expected_i, 6) AS expected_i,
+       ROUND(z_var, 6) AS z_var, ROUND(z_score, 6) AS z_score,
+       ROUND({zp}, 6) AS p_value
+FROM {nested}
+""",
+        "rects_customer",
+    )
+
+
+@_register("global_morans_i_queen", _queen_moran_oracle())
+def q_global_moran_queen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I under Queen contiguity (EdgesNodes) on the rect
+    layer, analysis field from acctbal."""
+    rects = world.rects_customer(spark, sf_dir)
+    pairs = weights.queen_pairs(rects, _QUEEN_V_SQL)
+    pts = rects.select("rid", F.expr(_QUEEN_V_SQL).alias("v"))
+    return weights.general_moran(pairs, pts)
+
+
+def _adaptive_moran_oracle() -> str:
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM moments CROSS JOIN pagg CROSS JOIN degs",
+        autocorr.GLOBAL_MORAN_STAGES,
+    )
+    return world.with_layers(
+        f"""
+WITH pts AS (SELECT pid, x, y, CAST(FLOOR(val) AS BIGINT) % 97 AS v
+             FROM points_part),
+nnd AS (SELECT a.pid, MIN((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS d2
+        FROM pts a JOIN pts b ON a.pid <> b.pid GROUP BY a.pid),
+band AS (SELECT (SQRT(MAX(d2)) * 1.0001) * (SQRT(MAX(d2)) * 1.0001) AS b2
+         FROM nnd),
+nself AS (SELECT a.pid AS pid_l, b.pid AS pid_r, a.v AS vi, b.v AS vj
+          FROM pts a JOIN pts b ON a.pid <> b.pid
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= (SELECT b2 FROM band)),
+moments AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+            CAST(SUM(v * v) AS BIGINT) AS s2,
+            CAST(SUM(v * v * v) AS BIGINT) AS s3,
+            CAST(SUM(v * v * v * v) AS BIGINT) AS s4 FROM pts),
+pagg AS (SELECT COUNT(*) AS n_pairs, CAST(SUM(vi * vj) AS BIGINT) AS p11,
+         CAST(SUM(vi) AS BIGINT) AS pl, CAST(SUM(vj) AS BIGINT) AS pr FROM nself),
+degs AS (SELECT CAST(SUM(deg * deg) AS BIGINT) AS sumdeg2 FROM
+         (SELECT pid_l, COUNT(*) AS deg FROM nself GROUP BY pid_l))
+SELECT ROUND(moran_i, 6) AS moran_i, ROUND(expected_i, 6) AS expected_i,
+       ROUND(z_var, 6) AS z_var, ROUND(z_score, 6) AS z_score,
+       ROUND(p_value, 6) AS p_value
+FROM {nested}
+""",
+        "points_part",
+    )
+
+
+@_register("global_morans_i_adaptive", _adaptive_moran_oracle())
+def q_global_moran_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I at the reference's adaptive default band
+    (max nearest-neighbor distance × 1.0001, DistanceFactory.java:83-121)."""
+    pts = world.points_part(spark, sf_dir).withColumn(
+        "v", F.expr("CAST(FLOOR(val) AS BIGINT) % 97")
+    )
+    band = weights.adaptive_band(pts)
+    return autocorr.global_morans_i(pts, band)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed production variants of the LLM-pipeline pair queries
+# ---------------------------------------------------------------------------
+
+
+@_register("ngram_jaccard_lsh", textops.ngram_jaccard_lsh_oracle())
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard refine over MinHash-LSH band candidates (the
+    composed production near-dup topology; no all-pairs join)."""
+    world.register_tables(spark, sf_dir)
+    return textops.ngram_jaccard_lsh(spark)
+
+
+@_register("ann_topk_lsh", ann.ann_topk_lsh_oracle())
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH approximate top-k cosine (bucket join + exact rank;
+    the scale path whose exact baseline is ann_cosine_topk)."""
+    world.register_tables(spark, sf_dir)
+    return ann.ann_topk_lsh(spark)

@@ -355,3 +355,76 @@ def fingerprint_oracle() -> str:
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {strhash_duck('text')} AS fp "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidates -> exact n-gram Jaccard refine (production topology)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_lsh(spark: SparkSession, threshold: float = 0.12) -> DataFrame:
+    """Exact word-3gram Jaccard over MinHash-LSH band candidates — the
+    composed production near-dup pipeline (candidates from banding, exact
+    refine on candidates only). Unlike ``ngram_jaccard_pairs`` (the exact
+    all-same-lang baseline) this never joins outside an LSH bucket, so the
+    pair count scales with collision density, not group size squared."""
+    spark.sql(
+        f"SELECT doc_id, {shingles_spark(toks_spark())} AS sh, "
+        f"transform({shingles_spark(toks_spark())}, g -> {strhash_spark('g')}) AS codes "
+        "FROM documents"
+    ).createOrReplaceTempView("_lsh_sh")
+    spark.sql(
+        f"SELECT doc_id, sh, {_minhash_cols_spark()} FROM _lsh_sh WHERE size(codes) > 0"
+    ).createOrReplaceTempView("_lsh_sigs")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM _lsh_sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    spark.sql(bands).createOrReplaceTempView("_lsh_bands")
+    return spark.sql(f"""
+SELECT did_a, did_b,
+       size(array_intersect(a.sh, b.sh)) AS inter,
+       size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)) AS uni,
+       CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+       / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) AS jac
+FROM (
+  SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
+  FROM _lsh_bands x JOIN _lsh_bands y
+    ON x.band = y.band AND x.key4 = y.key4 AND x.doc_id < y.doc_id
+) p
+JOIN _lsh_sigs a ON a.doc_id = did_a
+JOIN _lsh_sigs b ON b.doc_id = did_b
+WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= {threshold!r}
+""")
+
+
+def ngram_jaccard_lsh_oracle(threshold: float = 0.12) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH shj AS (
+  SELECT doc_id, {shingles_duck('toks')} AS sh,
+         list_transform({shingles_duck('toks')}, g -> {strhash_duck('g')}) AS codes
+  FROM (SELECT doc_id, {toks_duck()} AS toks FROM documents)
+),
+sigs AS (SELECT doc_id, sh, {_minhash_cols_duck()} FROM shj WHERE len(codes) > 0),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key4 = y.key4 AND x.doc_id < y.doc_id
+),
+ref AS (
+  SELECT did_a, did_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM cand JOIN sigs a ON a.doc_id = did_a JOIN sigs b ON b.doc_id = did_b
+)
+SELECT CAST(did_a AS BIGINT) AS did_a, CAST(did_b AS BIGINT) AS did_b,
+       CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni,
+       CAST(inter AS DOUBLE) / uni AS jac
+FROM ref WHERE CAST(inter AS DOUBLE) / uni >= {threshold!r}
+"""
