@@ -811,3 +811,94 @@ def local_lees_l(
         "* SQRT(CAST(syy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n) "
         "* (CAST(sy AS DOUBLE) / n))), 6) AS lll_index",
     )
+
+
+def local_sa_binning(
+    points: DataFrame, bbox, columns: int, rows: int, weight_col: str = "w"
+) -> DataFrame:
+    """LocalSABinningProcess (GT/LocalSABinningProcess.java:55): rectangular
+    binning, then Getis-Ord Gi* over the bin lattice with 3x3 queen
+    adjacency (selfNeighbors=true). Non-empty bins only (onlyValidGrid).
+    Output (col, row, val, gi_z, gi_p).
+
+    Plan: one binning shuffle, one stencil send (9x narrow explode) joined
+    back to the (tiny relative to points) bin table — the composition stays
+    two keyed shuffles regardless of point count.
+    """
+    from .binning import rect_binning
+
+    bins = rect_binning(points, bbox, columns, rows, weight_col=weight_col)
+    sent = bins.selectExpr("col", "row", "val").withColumn(
+        "dx", F.expr("explode(sequence(-1, 1))")
+    ).withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+    sent = sent.select(
+        (F.col("col") + F.col("dx")).alias("tc"),
+        (F.col("row") + F.col("dy")).alias("tr"),
+        F.col("val"),
+    )
+    per_t = sent.groupBy("tc", "tr").agg(
+        F.count(F.lit(1)).alias("deg_s"),
+        F.sum("val").cast("long").alias("loc_sum"),
+    )
+    # Gi* is defined per existing bin — inner join back to the bin table.
+    per_i = bins.join(
+        per_t,
+        (bins["col"] == per_t["tc"]) & (bins["row"] == per_t["tr"]),
+        "inner",
+    ).select("col", "row", F.col("val").alias("v"), "deg_s", "loc_sum")
+    moments = bins.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("s"),
+        F.sum(F.expr("val * val")).cast("long").alias("s2"),
+    )
+    out = apply_scalar_stages(
+        per_i.crossJoin(F.broadcast(moments)), LOCAL_G_STAGES
+    )
+    return out.select(
+        "col", "row", F.col("v").alias("val"),
+        F.round("gi_z", 6).alias("gi_z"),
+        F.round("gi_p", 6).alias("gi_p"),
+    )
+
+
+def local_sa_binning_oracle(bbox, columns: int, rows: int) -> str:
+    from . import world as _w
+    from .binning import rect_bin_stages, stages_to_subquery
+
+    stages = rect_bin_stages(bbox, columns, rows)
+    binned = stages_to_subquery("SELECT * FROM points_events", stages)
+    nested = stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", LOCAL_G_STAGES
+    )
+    return _w.with_layers(
+        f"""
+WITH bins AS (
+  SELECT col, row, CAST(SUM(w) AS BIGINT) AS val
+  FROM {binned}
+  WHERE col >= 0 AND row >= 0 AND col < {columns} AND row < {rows}
+  GROUP BY col, row
+),
+sent AS (
+  SELECT b.col + gdx.generate_series AS tc,
+         b.row + gdy.generate_series AS tr, b.val
+  FROM bins b, generate_series(-1, 1) gdx, generate_series(-1, 1) gdy
+),
+per_t AS (
+  SELECT tc, tr, COUNT(*) AS deg_s, CAST(SUM(val) AS BIGINT) AS loc_sum
+  FROM sent GROUP BY tc, tr
+),
+per_i AS (
+  SELECT b.col, b.row, b.val AS v, p.deg_s, p.loc_sum
+  FROM bins b JOIN per_t p ON b.col = p.tc AND b.row = p.tr
+),
+moments AS (
+  SELECT COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(val * val) AS BIGINT) AS s2
+  FROM bins
+)
+SELECT col, row, CAST(v AS BIGINT) AS val,
+       ROUND(gi_z, 6) AS gi_z, ROUND(gi_p, 6) AS gi_p
+FROM {nested}
+""",
+        "points_events",
+    )

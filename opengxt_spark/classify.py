@@ -36,17 +36,62 @@ from .world import dlit
 
 
 def classify_quantile(
-    points: DataFrame, n_classes: int, value_col: str = "val"
+    points: DataFrame, n_classes: int, value_col: str = "val",
+    n_buckets: int = 1024,
 ) -> DataFrame:
-    """Equal-count classes via ntile ordered by (value, pid) — the pid
-    tie-break makes the class assignment deterministic."""
+    """Equal-count classes with exact NTILE semantics, computed WITHOUT the
+    single-task global window an unpartitioned ntile would force.
+
+    Distributed rank: (1) hash rows into fixed-width value buckets,
+    (2) broadcast the tiny per-bucket cumulative counts, (3) rank within
+    each bucket (Window.partitionBy(bucket) — parallel partitions),
+    (4) global rank = bucket base + within rank, (5) the closed-form NTILE
+    formula (first n%k tiles get one extra row) maps rank -> class. Ties
+    break on pid, so the assignment is deterministic and identical to the
+    oracle's NTILE ORDER BY (val, pid).
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(value_col).asc(), F.col("pid").asc())
-    return planner.ensure_parallelism(points).select(
-        "pid",
-        F.round(value_col, 6).alias("v"),
-        F.ntile(n_classes).over(w).alias("cls"),
+    nb = int(n_buckets)
+    base = planner.ensure_parallelism(points).select(
+        "pid", F.col(value_col).alias("_v")
+    )
+    rng = base.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lo, hi, n = rng.collect()[0]
+    width = (float(hi) - float(lo)) / nb or 1.0
+    bucket = F.least(
+        F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long"),
+        F.lit(nb - 1),
+    )
+    bdf = base.withColumn("_b", bucket)
+    cum = (
+        bdf.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_base",
+            F.sum("_c").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .na.fill({"_base": 0})
+        .select("_b", "_base")
+    )
+    wb = Window.partitionBy("_b").orderBy(F.col("_v").asc(), F.col("pid").asc())
+    ranked = bdf.join(F.broadcast(cum), on="_b").withColumn(
+        "_rank", F.row_number().over(wb) + F.col("_base")
+    )
+    k = int(n_classes)
+    size, rem = divmod(int(n), k)
+    cls = F.expr(
+        f"CASE WHEN _rank - 1 < {(size + 1) * rem} "
+        f"THEN CAST(FLOOR((_rank - 1) / {size + 1}) AS INT) + 1 "
+        f"ELSE {rem} + CAST(FLOOR((_rank - 1 - {(size + 1) * rem}) / "
+        f"{max(size, 1)}) AS INT) + 1 END"
+    )
+    return ranked.select(
+        "pid", F.round("_v", 6).alias("v"), cls.alias("cls")
     )
 
 

@@ -295,17 +295,61 @@ def directional_mean_oracle_sql(segments_base: str) -> str:
 # --- central feature ----------------------------------------------------------
 
 
-def central_feature(points: DataFrame) -> DataFrame:
+def central_feature(
+    points: DataFrame, cell_size: float = 25.0
+) -> DataFrame:
     """Feature minimizing total distance to all others
-    (CentralFeatureOperation.java:45). Pair distances summed as exact
-    floor(d*1e6) integers -> order-free; argmin via min(struct)."""
-    a = points.select(
-        F.col("pid").alias("pid_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    (CentralFeatureOperation.java:45 — the reference is O(n²) per query).
+
+    Scale plan — **aggregated-cell prune + exact refine** (no crossJoin on
+    the full layer):
+    1. Aggregate points to grid cells (count + centroid-free cell centers).
+    2. For every point, the approximate total Σ̃(p) = Σ_cells cnt·d(p,
+       center) — a broadcast join against ~#cells rows, linear in n.
+    3. Every per-point distance error is bounded by the half-diagonal
+       h = cell_size·√2/2, so S(p) ∈ Σ̃(p) ± n·h; any p with
+       Σ̃(p) > min Σ̃ + 2nh provably cannot be the argmin — one plan-time
+       scalar prunes the candidate set to the flat bottom of the Σ
+       surface.
+    4. Exact FLOOR(d·1e6) pair sums (the oracle's arithmetic) run only for
+       the surviving candidates (broadcast) against the full layer.
+    Result is bit-identical to the all-pairs formulation.
+    """
+    cs = float(cell_size)
+    h = cs * 0.7071067811865476  # half cell diagonal
+    pts = points.select("pid", "x", "y")
+    cells_agg = pts.groupBy(
+        F.floor(F.col("x") / cs).cast("long").alias("cx"),
+        F.floor(F.col("y") / cs).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ccx = (F.col("cx") + 0.5) * cs
+    ccy = (F.col("cy") + 0.5) * cs
+    approx = (
+        pts.join(F.broadcast(cells_agg), how="cross")
+        .groupBy("pid", "x", "y")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.sqrt((F.col("x") - ccx) ** 2 + (F.col("y") - ccy) ** 2)
+            ).alias("approx_sum"),
+            F.sum("cnt").alias("n_total"),
+        )
     )
-    b = points.select(
-        F.col("pid").alias("pid_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    row = approx.agg(
+        F.min("approx_sum").alias("m"), F.first("n_total").alias("n")
+    ).collect()[0]
+    thresh = float(row["m"]) + 2.0 * h * float(row["n"])
+    cand = approx.where(F.col("approx_sum") <= F.lit(thresh)).select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
     )
-    pairs = a.crossJoin(b).where(F.col("pid_a") != F.col("pid_b"))
+    b = pts.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = b.join(F.broadcast(cand), how="cross").where(
+        F.col("pid_a") != F.col("pid_b")
+    )
     sums = pairs.groupBy("pid_a").agg(
         F.expr(
             "CAST(SUM(CAST(FLOOR(SQRT((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) "

@@ -202,3 +202,100 @@ def generic_pip_count(
 
     partial = cand.mapInPandas(refine, schema=out_schema)
     return partial.groupBy("rid").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Minimum bounding circle (Welzl over hull) and minimum rotated rectangle
+# (rotating calipers) — FeatureToMinimumBoundingCircleProcess /
+# FeatureToMinimumRectangleProcess (GT/transformation/
+# MinimumBoundingCircleFeatureCollection.java:46,
+# MinimumRectangleFeatureCollection.java:46)
+# ---------------------------------------------------------------------------
+
+
+def _circle_2(p, q):
+    cx, cy = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+    r2 = ((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2) / 4.0
+    return cx, cy, r2
+
+
+def _circle_3(p, q, r):
+    ax, ay = p
+    bx, by = q
+    cx, cy = r
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0:
+        return None
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return ux, uy, r2
+
+
+def _in_circle(c, p, eps=1e-9):
+    return (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1.0 + eps) + eps
+
+
+def min_bounding_circle(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[float, float, float]:
+    """Exact minimum enclosing circle (cx, cy, radius).
+
+    Only convex-hull vertices can support the circle, so reduce to the hull
+    first (bounds Welzl's move-to-front loop to O(h^2), h = hull size —
+    deterministic, no RNG, matching the engine's reproducibility contract).
+    """
+    hx, hy = convex_hull(xs, ys)
+    pts = list(zip(hx.tolist(), hy.tolist()))
+    if not pts:
+        return 0.0, 0.0, 0.0
+    if len(pts) == 1:
+        return pts[0][0], pts[0][1], 0.0
+    c = _circle_2(pts[0], pts[1])
+    for i, p in enumerate(pts):
+        if _in_circle(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j, q in enumerate(pts[:i]):
+            if _in_circle(c, q):
+                continue
+            c = _circle_2(p, q)
+            for r in pts[:j]:
+                if _in_circle(c, r):
+                    continue
+                c3 = _circle_3(p, q, r)
+                if c3 is not None:
+                    c = c3
+    return c[0], c[1], float(np.sqrt(c[2]))
+
+
+def min_rotated_rect(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[float, float, float, float]:
+    """Minimum-area rotated rectangle via rotating calipers over the hull.
+    Returns (area, angle_rad, width, height) with width >= height."""
+    hx, hy = convex_hull(xs, ys)
+    n = len(hx)
+    if n == 0:
+        return 0.0, 0.0, 0.0, 0.0
+    if n <= 2:
+        w = float(np.hypot(hx.max() - hx.min(), hy.max() - hy.min()))
+        ang = 0.0 if n < 2 else float(np.arctan2(hy[-1] - hy[0], hx[-1] - hx[0]))
+        return 0.0, ang, w, 0.0
+    best = None
+    for i in range(n):
+        dx, dy = hx[(i + 1) % n] - hx[i], hy[(i + 1) % n] - hy[i]
+        ln = np.hypot(dx, dy)
+        if ln == 0:
+            continue
+        ux, uy = dx / ln, dy / ln
+        proj_u = hx * ux + hy * uy
+        proj_v = -hx * uy + hy * ux
+        w = float(proj_u.max() - proj_u.min())
+        h = float(proj_v.max() - proj_v.min())
+        area = w * h
+        if best is None or area < best[0]:
+            best = (area, float(np.arctan2(uy, ux)), max(w, h), min(w, h))
+    return best

@@ -51,18 +51,32 @@ def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
     )
 
 
+# Plan-time probe results keyed by the build DataFrame's logical plan id —
+# repeated pip_count_join calls on the same layer re-use the measured cell
+# size instead of re-running the aggregate (the probe is an eager job).
+_CELL_SIZE_CACHE: dict[int, float] = {}
+
+
 def adaptive_cell_size(rects: DataFrame) -> float:
     """Cell size matched to the polygon layer's typical extent — the
     reference's adaptive-default pattern (SURVEY §4.1: cell = extent/250,
     band = max-NN-distance; here cell ~ mean rect dimension). Candidate
     count per probe point scales with (w + cs)(h + cs)/area, minimized
-    near cs ~ the geometry size; one cheap agg at plan time decides it.
+    near cs ~ the geometry size; one cheap agg at plan time decides it
+    (memoized per logical plan — see _CELL_SIZE_CACHE).
     """
+    key = hash(rects._jdf.queryExecution().logical().toString())
+    if key in _CELL_SIZE_CACHE:
+        return _CELL_SIZE_CACHE[key]
     row = rects.agg(
         F.avg(F.expr("GREATEST(hw, hh)")).alias("m")
     ).collect()[0]
     m = float(row["m"] or cells.DEFAULT_CELL_SIZE / 2)
-    return min(max(2.0 * m, 4.0), 200.0)
+    cs = min(max(2.0 * m, 4.0), 200.0)
+    if len(_CELL_SIZE_CACHE) > 256:
+        _CELL_SIZE_CACHE.clear()
+    _CELL_SIZE_CACHE[key] = cs
+    return cs
 
 
 def pip_count_join(
@@ -79,7 +93,7 @@ def pip_count_join(
     probe sides). cell_size defaults to the adaptive estimate from the
     rect layer's dimensions.
     """
-    cs = float(cell_size) if cell_size else adaptive_cell_size(rects)
+    cs = adaptive_cell_size(rects) if cell_size is None else float(cell_size)
     p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cs)
     r = _prep_rects(rects, cs)
     joined = planner.cell_join(p, r, world.rect_contains_sql("x", "y"), strategy)

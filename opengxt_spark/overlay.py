@@ -272,9 +272,21 @@ def line_intersections(
     joined = aa.join(bbx, on=["cell_x", "cell_y"], how="inner")
     staged = apply_stages(joined, _XING_STAGES)
     out = staged.where(F.col("hit"))
+    # Ownership on EXACT endpoint arithmetic (min corner of the two
+    # segments' bbox overlap), not the FP-computed crossing point: a
+    # crossing within ~1 ulp of a cell edge could otherwise round into a
+    # cell outside one side's cover and silently drop the pair. The overlap
+    # min corner is always inside both covers, and the crossing lies inside
+    # the overlap, so exactly one joined row survives per true crossing.
+    oxmin = F.greatest(
+        F.least("ax1", "ax2"), F.least("bx1", "bx2")
+    )
+    oymin = F.greatest(
+        F.least("ay1", "ay2"), F.least("by1", "by2")
+    )
     own = (
-        (F.floor(F.col("px") / F.lit(cs)).cast("long") == F.col("cell_x"))
-        & (F.floor(F.col("py") / F.lit(cs)).cast("long") == F.col("cell_y"))
+        (F.floor(oxmin / F.lit(cs)).cast("long") == F.col("cell_x"))
+        & (F.floor(oymin / F.lit(cs)).cast("long") == F.col("cell_y"))
     )
     return out.where(own).select(
         "lid_a", "lid_b",

@@ -982,3 +982,609 @@ WHERE ci = (CASE
   WHEN ((ph_a >> 32) & 65535) = ((ph_b >> 32) & 65535) THEN 2
   ELSE 3 END)
 """
+
+
+# ---------------------------------------------------------------------------
+# Focal surface completeness: aspect, curvature, TPI/TRI/roughness, D8 flow
+# (RasterAspectOperation.java:44, RasterCurvatureOperation.java:42,
+# RasterTPIOperation/RasterTRIOperation/RasterRoughnessOperation,
+# RasterFlowDirectionOperation.java:38) — all on the halo-exchange stencil
+# of _horn_gradients: each pixel sends itself to its 9 targets, one
+# groupBy(target) reassembles the window; the center value rides an equi-
+# join on the pixel key (co-partitioned, no extra shuffle class at scale).
+# ---------------------------------------------------------------------------
+
+
+def _stencil_with_center(spark: SparkSession):
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    sent = pixels.selectExpr("ix", "iy", "v").withColumn(
+        "dx", F.expr("explode(sequence(-1, 1))")
+    ).withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+    sent = sent.select(
+        (F.col("ix") + F.col("dx")).alias("tx"),
+        (F.col("iy") + F.col("dy")).alias("ty"),
+        F.col("dx"), F.col("dy"), F.col("v").alias("vs"),
+    )
+    ctr = pixels.selectExpr("ix AS tx", "iy AS ty", "v AS vc")
+    return sent.join(ctr, on=["tx", "ty"], how="inner")
+
+
+_STENCIL_SQL_DUCK = f"""
+pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+sent AS (
+  SELECT ix + gdx.generate_series AS tx, iy + gdy.generate_series AS ty,
+         gdx.generate_series AS dx, gdy.generate_series AS dy, v AS vs
+  FROM pix, generate_series(-1, 1) gdx, generate_series(-1, 1) gdy
+),
+stc AS (
+  SELECT s.tx, s.ty, s.dx, s.dy, s.vs, c.v AS vc
+  FROM sent s JOIN pix c ON s.tx = c.ix AND s.ty = c.iy
+)
+"""
+
+
+def focal_aspect(spark: SparkSession) -> DataFrame:
+    """Aspect as an 8-sector class of the steepest-descent direction
+    (-gx, -gy) from the Horn gradients — trig-free (the reference emits
+    degrees via atan2; sectors are the deterministic cross-engine form,
+    45° each anticlockwise from East; flat pixels sector = -1).
+    Output per 25x25 block x sector: (bx, by, sector, n)."""
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    g = _horn_gradients(spark).where(F.col("n9") == 9)
+    g = g.withColumn("ax", F.expr(f"-1.0 * gx_u / {cs8}")).withColumn(
+        "ay", F.expr(f"-1.0 * gy_u / {cs8}")
+    )
+    sector = (
+        "CASE WHEN ax = 0.0 AND ay = 0.0 THEN -1 "
+        "WHEN ay >= 0 AND ax > 0 AND ax >= ay THEN 0 "
+        "WHEN ay > 0 AND ax >= 0 AND ay > ax THEN 1 "
+        "WHEN ay > 0 AND ax < 0 AND ay >= -ax THEN 2 "
+        "WHEN ay >= 0 AND ax < 0 AND -ax > ay THEN 3 "
+        "WHEN ay < 0 AND ax <= 0 AND -ax >= -ay THEN 4 "
+        "WHEN ay < 0 AND ax <= 0 THEN 5 "
+        "WHEN ay < 0 AND ax > 0 AND -ay > ax THEN 6 "
+        "ELSE 7 END"
+    )
+    return (
+        g.withColumn("sector", F.expr(sector))
+        .groupBy(
+            F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+            F.col("sector").cast("int").alias("sector"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def focal_aspect_oracle() -> str:
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    sector = (
+        "CASE WHEN ax = 0.0 AND ay = 0.0 THEN -1 "
+        "WHEN ay >= 0 AND ax > 0 AND ax >= ay THEN 0 "
+        "WHEN ay > 0 AND ax >= 0 AND ay > ax THEN 1 "
+        "WHEN ay > 0 AND ax < 0 AND ay >= -ax THEN 2 "
+        "WHEN ay >= 0 AND ax < 0 AND -ax > ay THEN 3 "
+        "WHEN ay < 0 AND ax <= 0 AND -ax >= -ay THEN 4 "
+        "WHEN ay < 0 AND ax <= 0 THEN 5 "
+        "WHEN ay < 0 AND ax > 0 AND -ay > ax THEN 6 "
+        "ELSE 7 END"
+    )
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+sent AS (
+  SELECT ix + gdx.generate_series AS tx, iy + gdy.generate_series AS ty,
+         gdx.generate_series AS dx, gdy.generate_series AS dy, v
+  FROM pix, generate_series(-1, 1) gdx, generate_series(-1, 1) gdy
+),
+g AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+    CAST(SUM(CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gx_u,
+    CAST(SUM(CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+             ELSE 0 END) AS BIGINT) AS gy_u
+  FROM sent GROUP BY tx, ty
+),
+asp AS (
+  SELECT tx, ty, {sector} AS sector FROM (
+    SELECT tx, ty, -1.0 * gx_u / {cs8} AS ax, -1.0 * gy_u / {cs8} AS ay
+    FROM g WHERE n9 = 9
+  )
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(sector AS INT) AS sector, CAST(COUNT(*) AS BIGINT) AS n
+FROM asp GROUP BY 1, 2, 3
+"""
+
+
+def focal_tpi_tri(spark: SparkSession) -> DataFrame:
+    """TPI (center minus 8-neighbor mean, x8 to stay integer), TRI (sum of
+    |center - neighbor|), and roughness (window max - min) per pixel —
+    all exact integers; per 25x25 block: sums + counts."""
+    stc = _stencil_with_center(spark)
+    per = stc.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n9"),
+        F.sum(F.expr("CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE vs END"))
+        .alias("nbr_sum"),
+        F.sum(F.expr("CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE ABS(vc - vs) END"))
+        .alias("tri"),
+        F.max("vs").alias("wmax"),
+        F.min("vs").alias("wmin"),
+        F.first("vc").alias("vc"),
+    ).where(F.col("n9") == 9)
+    per = per.withColumn("tpi8", F.expr("8 * vc - nbr_sum")).withColumn(
+        "rough", F.expr("wmax - wmin")
+    )
+    return per.groupBy(
+        F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+        F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tpi8").cast("long").alias("tpi8_sum"),
+        F.sum("tri").cast("long").alias("tri_sum"),
+        F.sum("rough").cast("long").alias("rough_sum"),
+    )
+
+
+def focal_tpi_tri_oracle() -> str:
+    return f"""
+WITH {_STENCIL_SQL_DUCK},
+per AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+         CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE vs END) AS BIGINT)
+           AS nbr_sum,
+         CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE ABS(vc - vs) END)
+              AS BIGINT) AS tri,
+         MAX(vs) AS wmax, MIN(vs) AS wmin, MIN(vc) AS vc
+  FROM stc GROUP BY tx, ty
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(8 * vc - nbr_sum) AS BIGINT) AS tpi8_sum,
+       CAST(SUM(tri) AS BIGINT) AS tri_sum,
+       CAST(SUM(wmax - wmin) AS BIGINT) AS rough_sum
+FROM per WHERE n9 = 9 GROUP BY 1, 2
+"""
+
+
+def focal_curvature(spark: SparkSession) -> DataFrame:
+    """Zevenbergen-Thorne curvature -2(D + E) with
+    D = ((z_w + z_e)/2 - z_c)/L², E = ((z_s + z_n)/2 - z_c)/L² —
+    kept as the exact integer 2*(zw + ze + zn + zs - 4*zc) (the curvature
+    numerator x (2 L²); the reference's x100 output scaling is a constant
+    factor). Per 25x25 block: (bx, by, n, curv_sum)."""
+    stc = _stencil_with_center(spark)
+    per = stc.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n9"),
+        F.sum(F.expr(
+            "CASE WHEN ABS(dx) + ABS(dy) = 1 THEN vs ELSE 0 END"
+        )).alias("cross_sum"),
+        F.first("vc").alias("vc"),
+    ).where(F.col("n9") == 9)
+    per = per.withColumn("curv_u", F.expr("2 * (cross_sum - 4 * vc)"))
+    return per.groupBy(
+        F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+        F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("curv_u").cast("long").alias("curv_sum"),
+    )
+
+
+def focal_curvature_oracle() -> str:
+    return f"""
+WITH {_STENCIL_SQL_DUCK},
+per AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+         CAST(SUM(CASE WHEN ABS(dx) + ABS(dy) = 1 THEN vs ELSE 0 END)
+              AS BIGINT) AS cross_sum,
+         MIN(vc) AS vc
+  FROM stc GROUP BY tx, ty
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(2 * (cross_sum - 4 * vc)) AS BIGINT) AS curv_sum
+FROM per WHERE n9 = 9 GROUP BY 1, 2
+"""
+
+
+# D8 flow codes (ESRI): E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128.
+# dy grows north here (iy increases upward in the synthetic raster).
+_D8_CODE = (
+    "CASE WHEN dx = 1 AND dy = 0 THEN 1 WHEN dx = 1 AND dy = -1 THEN 2 "
+    "WHEN dx = 0 AND dy = -1 THEN 4 WHEN dx = -1 AND dy = -1 THEN 8 "
+    "WHEN dx = -1 AND dy = 0 THEN 16 WHEN dx = -1 AND dy = 1 THEN 32 "
+    "WHEN dx = 0 AND dy = 1 THEN 64 ELSE 128 END"
+)
+_SQRT2 = 1.4142135623730951
+
+
+def focal_flow_direction(spark: SparkSession) -> DataFrame:
+    """D8 flow direction: the neighbor with the steepest drop
+    (drop = (z_c - z_n)/dist, diagonal dist = sqrt2); ESRI power-of-two
+    codes, ties to the smallest code, flat/pit pixels code 0. Output per
+    (block, code): n."""
+    stc = _stencil_with_center(spark).where(
+        ~((F.col("dx") == 0) & (F.col("dy") == 0))
+    )
+    drop = (
+        f"CAST(vc - vs AS DOUBLE) / "
+        f"(CASE WHEN dx <> 0 AND dy <> 0 THEN {dlit(_SQRT2)} ELSE 1.0 END)"
+    )
+    per = stc.withColumn("drop", F.expr(drop)).withColumn(
+        "code", F.expr(_D8_CODE)
+    )
+    best = per.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n8"),
+        F.max(F.struct(F.col("drop"), (-F.col("code")).alias("negc")))
+        .alias("_b"),
+    ).where(F.col("n8") == 8)
+    best = best.withColumn(
+        "code",
+        F.expr("CASE WHEN _b.drop <= 0.0 THEN 0 ELSE -_b.negc END"),
+    )
+    return best.groupBy(
+        F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+        F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+        F.col("code").cast("int").alias("code"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def focal_flow_direction_oracle() -> str:
+    drop = (
+        f"CAST(vc - vs AS DOUBLE) / "
+        f"(CASE WHEN dx <> 0 AND dy <> 0 THEN {dlit(_SQRT2)} ELSE 1.0 END)"
+    )
+    return f"""
+WITH {_STENCIL_SQL_DUCK},
+per AS (
+  SELECT tx, ty, {drop} AS drop, {_D8_CODE} AS code
+  FROM stc WHERE NOT (dx = 0 AND dy = 0)
+),
+best AS (
+  SELECT tx, ty,
+         CASE WHEN drop <= 0.0 THEN 0 ELSE code END AS code
+  FROM (
+    SELECT tx, ty, code, drop,
+           ROW_NUMBER() OVER (PARTITION BY tx, ty
+                              ORDER BY drop DESC, code ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY tx, ty) AS n8
+    FROM per
+  ) WHERE rn = 1 AND n8 = 8
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(code AS INT) AS code, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kernel tail (RasterKernelDensityOperation.java:236-274): the remaining 5
+# reference kernels. These are not dyadic, so per-contribution values are
+# quantized to integers (FLOOR(kval * 1e6)) before summing — the repo's
+# cross-engine contract for order-free distributed reductions. The
+# triweight/quartic family keeps its exact dyadic fast path.
+# ---------------------------------------------------------------------------
+
+KD_QUANT = 1_000_000
+
+KERNELS.update({
+    # u and u2 are deterministic IEEE in both engines; EXP/COS may differ by
+    # 1 ulp between libm implementations — absorbed by the 1e-6 quantization
+    # grid (flip probability ~1e-10 per contribution).
+    "gaussian": "EXP(-3.0 * u2)",
+    "cosine": "COS(u * 1.5707963267948966)",
+    "distance": "1.0 - u",
+    "inverse_distance": "1.0 / (1.0 + u)",
+    "tricube": "(1.0 - u * u * u) * (1.0 - u * u * u) * (1.0 - u * u * u)",
+})
+
+_DYADIC_KERNELS = {"quartic", "epanechnikov", "triweight", "binary", "quadratic"}
+
+
+def kernel_density_quantized(
+    points: DataFrame,
+    kernel: str,
+    cell: float = KD_CELL,
+    rpx: int = KD_RADIUS_PX,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Kernel density for the non-dyadic kernels: per-contribution
+    FLOOR(kval * 1e6) integers, exact sums, one final division."""
+    from .binning import apply_stages
+
+    n_valid = sum(
+        1
+        for dx in range(-rpx, rpx + 1)
+        for dy in range(-rpx, rpx + 1)
+        if dx * dx + dy * dy <= rpx * rpx
+    )
+    scale_area = n_valid * cell * cell / 1e6
+
+    df = planner.ensure_parallelism(points).select(
+        F.expr(f"CAST(FLOOR(x / {dlit(cell)}) AS BIGINT)").alias("pcx"),
+        F.expr(f"CAST(FLOOR(y / {dlit(cell)}) AS BIGINT)").alias("pcy"),
+        F.col(weight_col).alias("wgt"),
+    )
+    df = df.withColumn("dx", F.expr(f"explode(sequence({-rpx}, {rpx}))"))
+    df = df.withColumn("dy", F.expr(f"explode(sequence({-rpx}, {rpx}))"))
+    df = df.where(F.expr(f"dx * dx + dy * dy <= {rpx * rpx}"))
+    df = apply_stages(df, _kd_stages(kernel, rpx))
+    df = df.withColumn(
+        "kval_u", F.expr(f"CAST(FLOOR(kval * {KD_QUANT}.0) AS BIGINT)")
+    )
+    return (
+        df.withColumn("cx", F.col("pcx") + F.col("dx"))
+        .withColumn("cy", F.col("pcy") + F.col("dy"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.round(
+                F.sum(F.expr("wgt * kval_u"))
+                / F.lit(float(KD_QUANT)) / F.lit(scale_area),
+                6,
+            ).alias("kd")
+        )
+    )
+
+
+def kernel_density_quantized_oracle(
+    points_base: str,
+    kernel: str,
+    cell: float = KD_CELL,
+    rpx: int = KD_RADIUS_PX,
+    weight_col: str = "w",
+) -> str:
+    from .binning import stages_to_subquery
+
+    n_valid = sum(
+        1
+        for dx in range(-rpx, rpx + 1)
+        for dy in range(-rpx, rpx + 1)
+        if dx * dx + dy * dy <= rpx * rpx
+    )
+    scale_area = n_valid * cell * cell / 1e6
+    base = f"""
+SELECT CAST(FLOOR(x / {dlit(cell)}) AS BIGINT) AS pcx,
+       CAST(FLOOR(y / {dlit(cell)}) AS BIGINT) AS pcy,
+       {weight_col} AS wgt, gx.generate_series AS dx, gy.generate_series AS dy
+FROM ({points_base}),
+     generate_series({-rpx}, {rpx}) gx, generate_series({-rpx}, {rpx}) gy
+WHERE gx.generate_series * gx.generate_series
+    + gy.generate_series * gy.generate_series <= {rpx * rpx}
+"""
+    sub = stages_to_subquery(base, _kd_stages(kernel, rpx))
+    return f"""
+SELECT pcx + dx AS cx, pcy + dy AS cy,
+       ROUND(CAST(SUM(wgt * CAST(FLOOR(kval * {KD_QUANT}.0) AS BIGINT))
+             AS DOUBLE) / {KD_QUANT}.0 / {dlit(scale_area)}, 6) AS kd
+FROM {sub}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Line density (RasterLineDensityOperation.java:63): per output cell, total
+# length of segment portions inside the radius circle around the cell
+# center, / circle area. Circle-segment clip is closed-form.
+# ---------------------------------------------------------------------------
+
+LD_CELL = 25.0
+LD_RADIUS = 30.0
+
+_LD_STAGES = [
+    ("sdx", "x2 - x1"),
+    ("sdy", "y2 - y1"),
+    ("seglen2", "sdx * sdx + sdy * sdy"),
+    # projection parameter of the cell center onto the (infinite) line
+    ("tc", "CASE WHEN seglen2 > 0.0 THEN "
+           "((ccx - x1) * sdx + (ccy - y1) * sdy) / seglen2 ELSE 0.0 END"),
+    ("qx", "x1 + tc * sdx"),
+    ("qy", "y1 + tc * sdy"),
+    ("dd2", "(ccx - qx) * (ccx - qx) + (ccy - qy) * (ccy - qy)"),
+    # half-chord of the circle on the line (in t units)
+    ("hc", f"CASE WHEN dd2 >= {{r2}} OR seglen2 = 0.0 THEN 0.0 "
+           f"ELSE SQRT(({{r2}} - dd2) / seglen2) END"),
+    ("t0", "GREATEST(tc - hc, 0.0)"),
+    ("t1", "LEAST(tc + hc, 1.0)"),
+    ("clip_len", "CASE WHEN t1 > t0 THEN (t1 - t0) * SQRT(seglen2) ELSE 0.0 END"),
+]
+
+
+def _ld_stages(radius: float) -> list[tuple[str, str]]:
+    r2 = dlit(float(radius) * float(radius))
+    return [(n, s.replace("{r2}", r2)) for n, s in _LD_STAGES]
+
+
+def line_density(
+    segments: DataFrame, cell: float = LD_CELL, radius: float = LD_RADIUS
+) -> DataFrame:
+    """Per grid cell (center = cell middle): Σ clipped segment length inside
+    the radius circle / circle area. Candidates via the radius-expanded
+    bbox cell cover; per-contribution lengths quantized (1e6) for exact
+    distributed sums. Output (gx, gy, dens) for non-zero cells."""
+    from .binning import apply_stages
+    from .overlay import _seg_bbox
+
+    cs = float(cell)
+    segs = cells.explode_extent_cells(
+        cells.expand_extent(
+            _seg_bbox(planner.ensure_parallelism(segments)), float(radius)
+        ),
+        cell_size=cs,
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    segs = segs.withColumn(
+        "ccx", (F.col("cell_x") + F.lit(0.5)) * F.lit(cs)
+    ).withColumn("ccy", (F.col("cell_y") + F.lit(0.5)) * F.lit(cs))
+    staged = apply_stages(segs, _ld_stages(radius))
+    area = dlit(3.141592653589793 * float(radius) * float(radius))
+    return (
+        staged.withColumn(
+            "len_u", F.expr(f"CAST(FLOOR(clip_len * {KD_QUANT}.0) AS BIGINT)")
+        )
+        .where(F.col("len_u") > 0)
+        .groupBy(
+            F.col("cell_x").alias("gx"), F.col("cell_y").alias("gy")
+        )
+        .agg(
+            F.round(
+                F.sum("len_u") / F.lit(float(KD_QUANT)) / F.expr(area), 6
+            ).alias("dens")
+        )
+    )
+
+
+def line_density_oracle(
+    layer: str, cell: float = LD_CELL, radius: float = LD_RADIUS
+) -> str:
+    from .binning import stages_to_subquery
+
+    cs = dlit(float(cell))
+    r = dlit(float(radius))
+    area = dlit(3.141592653589793 * float(radius) * float(radius))
+    base = f"""
+SELECT l.lid, l.x1, l.y1, l.x2, l.y2, g.gx AS cell_x, g.gy AS cell_y,
+       (g.gx + 0.5) * {cs} AS ccx, (g.gy + 0.5) * {cs} AS ccy
+FROM (SELECT lid, x1, y1, x2, y2,
+             LEAST(x1, x2) AS bxmin, GREATEST(x1, x2) AS bxmax,
+             LEAST(y1, y2) AS bymin, GREATEST(y1, y2) AS bymax
+      FROM {layer}) l
+JOIN (SELECT gxs.generate_series AS gx, gys.generate_series AS gy
+      FROM generate_series(-6, 46) gxs, generate_series(-6, 46) gys) g
+  ON CAST(FLOOR((l.bxmin - {r}) / {cs}) AS BIGINT) <= g.gx
+ AND CAST(FLOOR((l.bxmax + {r}) / {cs}) AS BIGINT) >= g.gx
+ AND CAST(FLOOR((l.bymin - {r}) / {cs}) AS BIGINT) <= g.gy
+ AND CAST(FLOOR((l.bymax + {r}) / {cs}) AS BIGINT) >= g.gy
+"""
+    sub = stages_to_subquery(base, _ld_stages(radius))
+    return world.with_layers(
+        f"""
+SELECT cell_x AS gx, cell_y AS gy,
+       ROUND(CAST(SUM(len_u) AS DOUBLE) / {KD_QUANT}.0 / {area}, 6) AS dens
+FROM (SELECT cell_x, cell_y,
+             CAST(FLOOR(clip_len * {KD_QUANT}.0) AS BIGINT) AS len_u
+      FROM {sub})
+WHERE len_u > 0 GROUP BY 1, 2
+""",
+        layer,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation grid (RasterInterpolationIDWOperation.java:52): per
+# output cell center, Σ(v/d²)/Σ(1/d²) over sample points within the radius
+# (power = 2, the reference default; radius-bounded per the engine's
+# distributed-search contract). Numerator/denominator quantized separately.
+# ---------------------------------------------------------------------------
+
+IDW_CELL = 50.0
+IDW_RADIUS = 75.0
+IDW_QUANT = 1_000_000
+
+
+def idw_grid(
+    points: DataFrame,
+    value_col: str = "val",
+    cell: float = IDW_CELL,
+    radius: float = IDW_RADIUS,
+) -> DataFrame:
+    """IDW (power 2) surface on a cell-center lattice. A sample exactly on
+    a center (d2 = 0) takes over that cell (the reference's exact-hit
+    rule). Output (gx, gy, n_samples, idw)."""
+    cs = float(cell)
+    r = float(radius)
+    pts = planner.ensure_parallelism(points).select(
+        F.col("x"), F.col("y"),
+        F.expr(f"CAST(FLOOR(ABS({value_col}) * 100.0) AS BIGINT)").alias("vq"),
+    )
+    cand = cells.explode_circle_cells(pts, radius=r, cell_size=cs)
+    cand = cand.withColumn(
+        "ccx", (F.col("cell_x") + F.lit(0.5)) * F.lit(cs)
+    ).withColumn("ccy", (F.col("cell_y") + F.lit(0.5)) * F.lit(cs))
+    ncell = int(1000.0 / cs)  # output raster extent = the world bbox
+    cand = cand.where(
+        (F.col("cell_x") >= 0) & (F.col("cell_x") < ncell)
+        & (F.col("cell_y") >= 0) & (F.col("cell_y") < ncell)
+    )
+    d2 = F.expr("(x - ccx) * (x - ccx) + (y - ccy) * (y - ccy)")
+    cand = cand.withColumn("d2", d2).where(F.col("d2") <= F.lit(r * r))
+    cand = cand.withColumn(
+        "num_u",
+        F.expr(f"CASE WHEN d2 = 0.0 THEN 0 ELSE "
+               f"CAST(FLOOR(vq / d2 * {IDW_QUANT}.0) AS BIGINT) END"),
+    ).withColumn(
+        "den_u",
+        F.expr(f"CASE WHEN d2 = 0.0 THEN 0 ELSE "
+               f"CAST(FLOOR(1.0 / d2 * {IDW_QUANT}.0) AS BIGINT) END"),
+    ).withColumn(
+        "hit_vq", F.expr("CASE WHEN d2 = 0.0 THEN vq ELSE NULL END")
+    )
+    return (
+        cand.groupBy(F.col("cell_x").alias("gx"), F.col("cell_y").alias("gy"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("num_u").cast("long").alias("numq"),
+            F.sum("den_u").cast("long").alias("denq"),
+            F.min("hit_vq").alias("hitq"),
+        )
+        .select(
+            "gx", "gy", "n_samples",
+            F.round(
+                F.expr(
+                    "CASE WHEN hitq IS NOT NULL THEN CAST(hitq AS DOUBLE) "
+                    "WHEN denq > 0 THEN CAST(numq AS DOUBLE) / denq "
+                    "ELSE 0.0 END"
+                ),
+                6,
+            ).alias("idw"),
+        )
+    )
+
+
+def idw_grid_oracle(
+    layer: str = "points_part",
+    value_col: str = "val",
+    cell: float = IDW_CELL,
+    radius: float = IDW_RADIUS,
+) -> str:
+    cs = dlit(float(cell))
+    r2 = dlit(float(radius) * float(radius))
+    ncell = int(1000.0 / float(cell))
+    return world.with_layers(
+        f"""
+WITH pts AS (SELECT x, y, CAST(FLOOR(ABS({value_col}) * 100.0) AS BIGINT) AS vq
+             FROM {layer}),
+cand AS (
+  SELECT g.gx, g.gy, p.vq,
+         (p.x - (g.gx + 0.5) * {cs}) * (p.x - (g.gx + 0.5) * {cs})
+       + (p.y - (g.gy + 0.5) * {cs}) * (p.y - (g.gy + 0.5) * {cs}) AS d2
+  FROM pts p
+  JOIN (SELECT gxs.generate_series AS gx, gys.generate_series AS gy
+        FROM generate_series(0, {ncell - 1}) gxs,
+             generate_series(0, {ncell - 1}) gys) g
+    ON (p.x - (g.gx + 0.5) * {cs}) * (p.x - (g.gx + 0.5) * {cs})
+     + (p.y - (g.gy + 0.5) * {cs}) * (p.y - (g.gy + 0.5) * {cs}) <= {r2}
+),
+agg AS (
+  SELECT gx, gy, COUNT(*) AS n_samples,
+         CAST(SUM(CASE WHEN d2 = 0.0 THEN 0 ELSE
+              CAST(FLOOR(vq / d2 * {IDW_QUANT}.0) AS BIGINT) END) AS BIGINT)
+           AS numq,
+         CAST(SUM(CASE WHEN d2 = 0.0 THEN 0 ELSE
+              CAST(FLOOR(1.0 / d2 * {IDW_QUANT}.0) AS BIGINT) END) AS BIGINT)
+           AS denq,
+         MIN(CASE WHEN d2 = 0.0 THEN vq ELSE NULL END) AS hitq
+  FROM cand GROUP BY gx, gy
+)
+SELECT gx, gy, CAST(n_samples AS BIGINT) AS n_samples,
+       ROUND(CASE WHEN hitq IS NOT NULL THEN CAST(hitq AS DOUBLE)
+             WHEN denq > 0 THEN CAST(numq AS DOUBLE) / denq
+             ELSE 0.0 END, 6) AS idw
+FROM agg
+""",
+        layer,
+    )

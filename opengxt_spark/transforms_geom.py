@@ -1,0 +1,602 @@
+"""Geometry transformer long tail: densify, flip, extend/trim, split,
+vertices/points conversions, octagonal envelope, multipart handling,
+Chaikin smoothing, kNN circles.
+
+Reference parity map (GT = /root/reference/GeoTools/process-spatialstatistics/
+src/main/java/org/geotools/process/spatialstatistics):
+- ``densify``            <- GT/transformation/DensifyFeatureCollection.java:41
+                            (vertices every <= tolerance along each segment)
+- ``flip_lines``         <- GT/transformation/FlipLineFeatureCollection.java:40
+- ``extend_lines``/``trim_lines`` <- GT/operations/ExtendLineOperation.java:51 /
+                            TrimLineOperation.java:51 (endpoint offset along
+                            the segment direction)
+- ``split_line_by_distance`` <- GT/operations/SplitLineByDistanceOperation.java:48
+- ``vertices_to_points`` <- GT/transformation/VerticesToPointsFeatureCollection
+                            .java:44 (both endpoints of every segment)
+- ``points_to_line``     <- GT/operations/PointsToLineOperation.java:59
+                            (per-group ordered vertex chain -> segments)
+- ``octagonal_envelope`` <- GT/transformation/OctagonalEnvelopeFeature
+                            Collection.java:44 (min/max of x, y, x+y, x-y)
+- ``singlepart_to_multipart`` <- GT/SinglepartToMultipartProcess.java:43
+                            (group singleparts on an attribute)
+- ``remove_parts``       <- GT/transformation/RemovePartsFeatureCollection
+                            .java:46 (drop parts below an area threshold)
+- ``remove_holes``       <- GT/transformation/RemoveHolesFeatureCollection
+                            .java:46 (fill holes below an area threshold;
+                            holes modeled as B-rects wholly inside A)
+- ``smooth_chaikin``     <- GT/SmoothProcess.java:44 (vertex-doubling
+                            corner-cut smoothing; documented stand-in for the
+                            reference's JTS spline smoother — same vertex
+                            count contract: 2(n-1) output vertices)
+- ``feature_to_line``    <- GT/transformation/FeatureToLineFeatureCollection
+                            .java:44 (polygon boundary -> segments)
+- ``knn_circle``         <- GT/pattern/KNearestNeighborCircleOperation.java:59
+                            (circle through each point's k-th neighbor)
+
+Everything here is a narrow per-row projection/explode or a per-group
+window — one scan, at most one keyed shuffle; identical SQL text runs in
+the DuckDB oracle (fragments shared verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import joins, planner, world
+from .world import dlit
+
+SEG_LEN_SQL = "SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))"
+
+
+def densify(segments: DataFrame, tolerance: float) -> DataFrame:
+    """Insert vertices so consecutive gaps never exceed ``tolerance``:
+    k = CEIL(len/tol) equal sub-segments, vertices at i/k for i in 0..k.
+    Output (lid, i, vx, vy)."""
+    tol = dlit(float(tolerance))
+    df = planner.ensure_parallelism(segments).selectExpr(
+        "lid", "x1", "y1", "x2", "y2",
+        f"CAST(CEIL({SEG_LEN_SQL} / {tol}) AS BIGINT) AS k",
+    )
+    df = df.selectExpr(
+        "lid", "x1", "y1", "x2", "y2", "k",
+        "explode(sequence(CAST(0 AS BIGINT), GREATEST(k, 1))) AS i",
+    )
+    t = "CAST(i AS DOUBLE) / GREATEST(k, 1)"
+    return df.selectExpr(
+        "lid", "i",
+        f"ROUND(x1 + ({t}) * (x2 - x1), 6) AS vx",
+        f"ROUND(y1 + ({t}) * (y2 - y1), 6) AS vy",
+    )
+
+
+def densify_oracle(layer: str, tolerance: float) -> str:
+    tol = dlit(float(tolerance))
+    return world.with_layers(
+        f"""
+SELECT lid, CAST(i AS BIGINT) AS i,
+       ROUND(x1 + (CAST(i AS DOUBLE) / GREATEST(k, 1)) * (x2 - x1), 6) AS vx,
+       ROUND(y1 + (CAST(i AS DOUBLE) / GREATEST(k, 1)) * (y2 - y1), 6) AS vy
+FROM (SELECT lid, x1, y1, x2, y2,
+             CAST(CEIL({SEG_LEN_SQL} / {tol}) AS BIGINT) AS k FROM {layer}),
+     LATERAL UNNEST(generate_series(0, GREATEST(k, 1))) AS u(i)
+""",
+        layer,
+    )
+
+
+def flip_lines(segments: DataFrame) -> DataFrame:
+    """Reverse segment direction (FlipLineProcess)."""
+    return planner.ensure_parallelism(segments).selectExpr(
+        "lid",
+        "ROUND(x2, 6) AS x1", "ROUND(y2, 6) AS y1",
+        "ROUND(x1, 6) AS x2", "ROUND(y1, 6) AS y2",
+    )
+
+
+def flip_lines_oracle(layer: str) -> str:
+    return world.with_layers(
+        f"SELECT lid, ROUND(x2, 6) AS x1, ROUND(y2, 6) AS y1, "
+        f"ROUND(x1, 6) AS x2, ROUND(y1, 6) AS y2 FROM {layer}",
+        layer,
+    )
+
+
+_EXTEND_EXPRS = (
+    "lid",
+    "ROUND(x1 - d * (x2 - x1) / len, 6) AS ex1",
+    "ROUND(y1 - d * (y2 - y1) / len, 6) AS ey1",
+    "ROUND(x2 + d * (x2 - x1) / len, 6) AS ex2",
+    "ROUND(y2 + d * (y2 - y1) / len, 6) AS ey2",
+)
+
+
+def extend_lines(segments: DataFrame, distance: float) -> DataFrame:
+    """Extend both endpoints outward by ``distance`` along the segment
+    direction; degenerate (zero-length) segments pass through unchanged."""
+    d = dlit(float(distance))
+    df = planner.ensure_parallelism(segments).selectExpr(
+        "lid", "x1", "y1", "x2", "y2", f"{SEG_LEN_SQL} AS len", f"{d} AS d"
+    ).where("len > 0.0")
+    return df.selectExpr(*_EXTEND_EXPRS)
+
+
+def extend_lines_oracle(layer: str, distance: float) -> str:
+    d = dlit(float(distance))
+    cols = ", ".join(_EXTEND_EXPRS)
+    return world.with_layers(
+        f"""
+SELECT {cols}
+FROM (SELECT lid, x1, y1, x2, y2, {SEG_LEN_SQL} AS len, {d} AS d FROM {layer})
+WHERE len > 0.0
+""",
+        layer,
+    )
+
+
+def trim_lines(segments: DataFrame, distance: float) -> DataFrame:
+    """Trim both endpoints inward by ``distance``; segments shorter than
+    2*distance are dropped (the reference drops collapsed geometries)."""
+    d = dlit(float(distance))
+    df = planner.ensure_parallelism(segments).selectExpr(
+        "lid", "x1", "y1", "x2", "y2", f"{SEG_LEN_SQL} AS len",
+        f"CAST(-1.0 AS DOUBLE) * {d} AS d",
+    ).where(f"len > 2.0 * {d}")
+    return df.selectExpr(*_EXTEND_EXPRS)
+
+
+def trim_lines_oracle(layer: str, distance: float) -> str:
+    d = dlit(float(distance))
+    cols = ", ".join(_EXTEND_EXPRS)
+    return world.with_layers(
+        f"""
+SELECT {cols}
+FROM (SELECT lid, x1, y1, x2, y2, {SEG_LEN_SQL} AS len,
+             CAST(-1.0 AS DOUBLE) * {d} AS d FROM {layer})
+WHERE len > 2.0 * {d}
+""",
+        layer,
+    )
+
+
+def split_line_by_distance(segments: DataFrame, piece_len: float) -> DataFrame:
+    """Cut each segment into pieces of ``piece_len`` (last piece shorter).
+    Output (lid, piece, px1, py1, px2, py2)."""
+    pl = dlit(float(piece_len))
+    df = planner.ensure_parallelism(segments).selectExpr(
+        "lid", "x1", "y1", "x2", "y2", f"{SEG_LEN_SQL} AS len"
+    ).where("len > 0.0")
+    df = df.selectExpr(
+        "lid", "x1", "y1", "x2", "y2", "len",
+        f"explode(sequence(CAST(0 AS BIGINT), "
+        f"CAST(CEIL(len / {pl}) AS BIGINT) - 1)) AS piece",
+    )
+    t0 = f"LEAST(piece * {pl} / len, 1.0)"
+    t1 = f"LEAST((piece + 1) * {pl} / len, 1.0)"
+    return df.selectExpr(
+        "lid", "piece",
+        f"ROUND(x1 + ({t0}) * (x2 - x1), 6) AS px1",
+        f"ROUND(y1 + ({t0}) * (y2 - y1), 6) AS py1",
+        f"ROUND(x1 + ({t1}) * (x2 - x1), 6) AS px2",
+        f"ROUND(y1 + ({t1}) * (y2 - y1), 6) AS py2",
+    )
+
+
+def split_line_oracle(layer: str, piece_len: float) -> str:
+    pl = dlit(float(piece_len))
+    t0 = f"LEAST(piece * {pl} / len, 1.0)"
+    t1 = f"LEAST((piece + 1) * {pl} / len, 1.0)"
+    return world.with_layers(
+        f"""
+SELECT lid, CAST(piece AS BIGINT) AS piece,
+       ROUND(x1 + ({t0}) * (x2 - x1), 6) AS px1,
+       ROUND(y1 + ({t0}) * (y2 - y1), 6) AS py1,
+       ROUND(x1 + ({t1}) * (x2 - x1), 6) AS px2,
+       ROUND(y1 + ({t1}) * (y2 - y1), 6) AS py2
+FROM (SELECT lid, x1, y1, x2, y2, {SEG_LEN_SQL} AS len FROM {layer}
+      WHERE {SEG_LEN_SQL} > 0.0),
+     LATERAL UNNEST(generate_series(0, CAST(CEIL(len / {pl}) AS BIGINT) - 1))
+       AS u(piece)
+""",
+        layer,
+    )
+
+
+def vertices_to_points(segments: DataFrame) -> DataFrame:
+    """Both endpoints of every segment: (lid, which, vx, vy)."""
+    df = planner.ensure_parallelism(segments)
+    a = df.selectExpr("lid", "0 AS which", "ROUND(x1, 6) AS vx",
+                      "ROUND(y1, 6) AS vy")
+    b = df.selectExpr("lid", "1 AS which", "ROUND(x2, 6) AS vx",
+                      "ROUND(y2, 6) AS vy")
+    return a.unionByName(b).selectExpr(
+        "lid", "CAST(which AS INT) AS which", "vx", "vy"
+    )
+
+
+def vertices_to_points_oracle(layer: str) -> str:
+    return world.with_layers(
+        f"""
+SELECT lid, CAST(0 AS INT) AS which, ROUND(x1, 6) AS vx, ROUND(y1, 6) AS vy
+FROM {layer}
+UNION ALL
+SELECT lid, CAST(1 AS INT) AS which, ROUND(x2, 6) AS vx, ROUND(y2, 6) AS vy
+FROM {layer}
+""",
+        layer,
+    )
+
+
+def points_to_line(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """Per-group ordered vertex chain -> consecutive segments
+    (PointsToLineProcess, order by pid = the reference's sort field).
+    Output (cat, seq, x1, y1, x2, y2)."""
+    w = Window.partitionBy(group_col).orderBy("pid")
+    df = planner.ensure_parallelism(points.select(group_col, "pid", "x", "y"))
+    df = (
+        df.withColumn("nx", F.lead("x").over(w))
+        .withColumn("ny", F.lead("y").over(w))
+        .withColumn("seq", F.row_number().over(w))
+        .where(F.col("nx").isNotNull())
+    )
+    return df.select(
+        F.col(group_col),
+        F.col("seq").cast("long").alias("seq"),
+        F.round("x", 6).alias("x1"), F.round("y", 6).alias("y1"),
+        F.round("nx", 6).alias("x2"), F.round("ny", 6).alias("y2"),
+    )
+
+
+def points_to_line_oracle(layer: str = "points_events",
+                          group_col: str = "cat") -> str:
+    return world.with_layers(
+        f"""
+SELECT {group_col}, CAST(seq AS BIGINT) AS seq,
+       ROUND(x, 6) AS x1, ROUND(y, 6) AS y1,
+       ROUND(nx, 6) AS x2, ROUND(ny, 6) AS y2
+FROM (
+  SELECT {group_col}, x, y,
+         LEAD(x) OVER (PARTITION BY {group_col} ORDER BY pid) AS nx,
+         LEAD(y) OVER (PARTITION BY {group_col} ORDER BY pid) AS ny,
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY pid) AS seq
+  FROM {layer}
+) WHERE nx IS NOT NULL
+""",
+        layer,
+    )
+
+
+def octagonal_envelope(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """Per group: the octagonal envelope parameters — extremes of x, y,
+    x+y, x-y (the 4 support-line families of the octagon)."""
+    df = planner.ensure_parallelism(points)
+    return df.groupBy(group_col).agg(
+        F.round(F.min("x"), 6).alias("xmin"),
+        F.round(F.max("x"), 6).alias("xmax"),
+        F.round(F.min("y"), 6).alias("ymin"),
+        F.round(F.max("y"), 6).alias("ymax"),
+        F.round(F.min(F.col("x") + F.col("y")), 6).alias("dmin"),
+        F.round(F.max(F.col("x") + F.col("y")), 6).alias("dmax"),
+        F.round(F.min(F.col("x") - F.col("y")), 6).alias("amin"),
+        F.round(F.max(F.col("x") - F.col("y")), 6).alias("amax"),
+    )
+
+
+def octagonal_envelope_oracle(layer: str = "points_events",
+                              group_col: str = "cat") -> str:
+    return world.with_layers(
+        f"""
+SELECT {group_col},
+       ROUND(MIN(x), 6) AS xmin, ROUND(MAX(x), 6) AS xmax,
+       ROUND(MIN(y), 6) AS ymin, ROUND(MAX(y), 6) AS ymax,
+       ROUND(MIN(x + y), 6) AS dmin, ROUND(MAX(x + y), 6) AS dmax,
+       ROUND(MIN(x - y), 6) AS amin, ROUND(MAX(x - y), 6) AS amax
+FROM {layer} GROUP BY {group_col}
+""",
+        layer,
+    )
+
+
+def singlepart_to_multipart(rects: DataFrame, group_col: str = "seg") -> DataFrame:
+    """Group singlepart rects into multipart features on an attribute:
+    (seg, n_parts, total_area, env bbox)."""
+    df = planner.ensure_parallelism(rects)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum(
+            F.expr("CAST(FLOOR(4.0 * hw * hh * 1000000.0 + 0.5) AS BIGINT)")
+        ) / 1e6, 6).alias("total_area"),
+        F.round(F.min(F.expr("cx - hw")), 6).alias("exmin"),
+        F.round(F.min(F.expr("cy - hh")), 6).alias("eymin"),
+        F.round(F.max(F.expr("cx + hw")), 6).alias("exmax"),
+        F.round(F.max(F.expr("cy + hh")), 6).alias("eymax"),
+    )
+
+
+def singlepart_to_multipart_oracle(layer: str = "rects_customer",
+                                   group_col: str = "seg") -> str:
+    return world.with_layers(
+        f"""
+SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(CAST(FLOOR(4.0 * hw * hh * 1000000.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1e6, 6) AS total_area,
+       ROUND(MIN(cx - hw), 6) AS exmin, ROUND(MIN(cy - hh), 6) AS eymin,
+       ROUND(MAX(cx + hw), 6) AS exmax, ROUND(MAX(cy + hh), 6) AS eymax
+FROM {layer} GROUP BY {group_col}
+""",
+        layer,
+    )
+
+
+def remove_parts(rects: DataFrame, min_area: float,
+                 group_col: str = "seg") -> DataFrame:
+    """Multipart part filter: drop parts below ``min_area`` from each
+    multipart group. Output (seg, n_kept, n_dropped, kept_area)."""
+    ma = dlit(float(min_area))
+    df = planner.ensure_parallelism(rects).withColumn(
+        "part_area", F.expr("4.0 * hw * hh")
+    )
+    return df.groupBy(group_col).agg(
+        F.sum(F.expr(f"CASE WHEN part_area >= {ma} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_kept"),
+        F.sum(F.expr(f"CASE WHEN part_area < {ma} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_dropped"),
+        F.round(F.sum(F.expr(
+            f"CASE WHEN part_area >= {ma} THEN "
+            "CAST(FLOOR(part_area * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+        )) / 1e6, 6).alias("kept_area"),
+    )
+
+
+def remove_parts_oracle(layer: str, min_area: float,
+                        group_col: str = "seg") -> str:
+    ma = dlit(float(min_area))
+    return world.with_layers(
+        f"""
+SELECT {group_col},
+       CAST(SUM(CASE WHEN part_area >= {ma} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN part_area < {ma} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       ROUND(CAST(SUM(CASE WHEN part_area >= {ma} THEN
+             CAST(FLOOR(part_area * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS DOUBLE) / 1e6, 6) AS kept_area
+FROM (SELECT {group_col}, 4.0 * hw * hh AS part_area FROM {layer})
+GROUP BY {group_col}
+""",
+        layer,
+    )
+
+
+def remove_holes(a: DataFrame, b: DataFrame, min_area: float) -> DataFrame:
+    """Fill holes smaller than ``min_area``: holes are B-rects wholly inside
+    an A-rect. Output per A with >=1 hole: (rid, n_holes, n_filled,
+    net_area = area(A) - Σ area(kept holes))."""
+    from . import cells
+
+    ma = float(min_area)
+    cs = cells.DEFAULT_CELL_SIZE
+    aa = cells.explode_extent_cells(
+        world.rect_corners(planner.ensure_parallelism(a)), cell_size=cs
+    )
+    bb = planner.ensure_parallelism(b).select(
+        F.col("rid").alias("hid"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("hw").alias("bhw"), F.col("hh").alias("bhh"),
+        F.expr(f"CAST(FLOOR(cx / {cs}) AS BIGINT)").alias("cell_x"),
+        F.expr(f"CAST(FLOOR(cy / {cs}) AS BIGINT)").alias("cell_y"),
+    )
+    j = aa.join(bb, on=["cell_x", "cell_y"], how="inner").where(
+        F.expr(
+            "bcx - bhw >= cx - hw AND bcx + bhw <= cx + hw AND "
+            "bcy - bhh >= cy - hh AND bcy + bhh <= cy + hh"
+        )
+    )
+    # one cell owns the hole (its center cell) so no dedup needed
+    return j.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("n_holes"),
+        F.sum(F.expr(
+            f"CASE WHEN 4.0 * bhw * bhh < {dlit(ma)} THEN 1 ELSE 0 END"
+        )).cast("long").alias("n_filled"),
+        F.round(
+            (F.first(F.expr(
+                "CAST(FLOOR(4.0 * hw * hh * 1000000.0 + 0.5) AS BIGINT)"))
+             - F.sum(F.expr(
+                f"CASE WHEN 4.0 * bhw * bhh >= {dlit(ma)} THEN "
+                "CAST(FLOOR(4.0 * bhw * bhh * 1000000.0 + 0.5) AS BIGINT) "
+                "ELSE 0 END"))) / 1e6,
+            6,
+        ).alias("net_area"),
+    )
+
+
+def remove_holes_oracle(a_layer: str, b_layer: str, min_area: float) -> str:
+    ma = dlit(float(min_area))
+    return world.with_layers(
+        f"""
+SELECT a.rid AS rid, CAST(COUNT(*) AS BIGINT) AS n_holes,
+       CAST(SUM(CASE WHEN 4.0 * b.hw * b.hh < {ma} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filled,
+       ROUND(CAST(MIN(CAST(FLOOR(4.0 * a.hw * a.hh * 1000000.0 + 0.5)
+                  AS BIGINT))
+             - SUM(CASE WHEN 4.0 * b.hw * b.hh >= {ma} THEN
+                   CAST(FLOOR(4.0 * b.hw * b.hh * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e6, 6) AS net_area
+FROM {a_layer} a JOIN {b_layer} b
+  ON b.cx - b.hw >= a.cx - a.hw AND b.cx + b.hw <= a.cx + a.hw
+ AND b.cy - b.hh >= a.cy - a.hh AND b.cy + b.hh <= a.cy + a.hh
+GROUP BY a.rid
+""",
+        a_layer, b_layer,
+    )
+
+
+def smooth_chaikin(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """One Chaikin corner-cutting pass over each group's ordered polyline:
+    every consecutive vertex pair yields points at t=1/4 and t=3/4.
+    Output (cat, seq, which, qx, qy)."""
+    segs = points_to_line(points, group_col)
+    df = segs.selectExpr(
+        group_col, "seq", "x1", "y1", "x2", "y2",
+        "explode(array(0, 1)) AS which",
+    )
+    t = "CASE WHEN which = 0 THEN 0.25 ELSE 0.75 END"
+    return df.selectExpr(
+        group_col, "seq", "CAST(which AS INT) AS which",
+        f"ROUND(x1 + ({t}) * (x2 - x1), 6) AS qx",
+        f"ROUND(y1 + ({t}) * (y2 - y1), 6) AS qy",
+    )
+
+
+def smooth_chaikin_oracle(layer: str = "points_events",
+                          group_col: str = "cat") -> str:
+    t = "CASE WHEN which = 0 THEN 0.25 ELSE 0.75 END"
+    return world.with_layers(
+        f"""
+SELECT {group_col}, seq, CAST(which AS INT) AS which,
+       ROUND(x1 + ({t}) * (x2 - x1), 6) AS qx,
+       ROUND(y1 + ({t}) * (y2 - y1), 6) AS qy
+FROM (
+  SELECT {group_col}, CAST(seq AS BIGINT) AS seq,
+         ROUND(x, 6) AS x1, ROUND(y, 6) AS y1,
+         ROUND(nx, 6) AS x2, ROUND(ny, 6) AS y2
+  FROM (
+    SELECT {group_col}, x, y,
+           LEAD(x) OVER (PARTITION BY {group_col} ORDER BY pid) AS nx,
+           LEAD(y) OVER (PARTITION BY {group_col} ORDER BY pid) AS ny,
+           ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY pid) AS seq
+    FROM {layer}
+  ) WHERE nx IS NOT NULL
+), LATERAL UNNEST([0, 1]) AS u(which)
+""",
+        layer,
+    )
+
+
+def feature_to_line(rects: DataFrame) -> DataFrame:
+    """Polygon boundary -> 4 directed segments per rect (CCW from SW).
+    Output (rid, side, x1, y1, x2, y2)."""
+    df = planner.ensure_parallelism(rects).selectExpr(
+        "rid",
+        "cx - hw AS x0", "cx + hw AS xz", "cy - hh AS y0", "cy + hh AS yz",
+    ).selectExpr("rid", "x0", "xz", "y0", "yz",
+                 "explode(array(0, 1, 2, 3)) AS side")
+    return df.selectExpr(
+        "rid", "CAST(side AS INT) AS side",
+        "ROUND(CASE side WHEN 0 THEN x0 WHEN 1 THEN xz WHEN 2 THEN xz ELSE x0 END, 6) AS x1",
+        "ROUND(CASE side WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN yz ELSE yz END, 6) AS y1",
+        "ROUND(CASE side WHEN 0 THEN xz WHEN 1 THEN xz WHEN 2 THEN x0 ELSE x0 END, 6) AS x2",
+        "ROUND(CASE side WHEN 0 THEN y0 WHEN 1 THEN yz WHEN 2 THEN yz ELSE y0 END, 6) AS y2",
+    )
+
+
+def feature_to_line_oracle(layer: str = "rects_customer") -> str:
+    return world.with_layers(
+        f"""
+SELECT rid, CAST(side AS INT) AS side,
+       ROUND(CASE side WHEN 0 THEN x0 WHEN 1 THEN xz WHEN 2 THEN xz ELSE x0 END, 6) AS x1,
+       ROUND(CASE side WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN yz ELSE yz END, 6) AS y1,
+       ROUND(CASE side WHEN 0 THEN xz WHEN 1 THEN xz WHEN 2 THEN x0 ELSE x0 END, 6) AS x2,
+       ROUND(CASE side WHEN 0 THEN y0 WHEN 1 THEN yz WHEN 2 THEN yz ELSE y0 END, 6) AS y2
+FROM (SELECT rid, cx - hw AS x0, cx + hw AS xz, cy - hh AS y0, cy + hh AS yz
+      FROM {layer}),
+     LATERAL UNNEST([0, 1, 2, 3]) AS u(side)
+""",
+        layer,
+    )
+
+
+def knn_circle(points: DataFrame, k: int, radius: float) -> DataFrame:
+    """Per point: the circle through its k-th nearest neighbor —
+    (pid, k_dist, circle_area). Bounded-radius narrowing as in knn_join."""
+    topk = joins.knn_join(points, points, k=k, radius=radius,
+                          exclude_self=True)
+    kth = topk.where(F.col("rank") == k)
+    pi = dlit(3.141592653589793)
+    return kth.select(
+        F.col("pid_l").alias("pid"),
+        F.col("dist").alias("k_dist"),
+        F.round(F.expr(f"{pi} * dist * dist"), 6).alias("circle_area"),
+    )
+
+
+def knn_circle_oracle(layer: str, k: int, radius: float) -> str:
+    r2 = dlit(float(radius) * float(radius))
+    pi = dlit(3.141592653589793)
+    return world.with_layers(
+        f"""
+SELECT pid, k_dist, ROUND({pi} * k_dist * k_dist, 6) AS circle_area FROM (
+  SELECT a.pid AS pid,
+         ROUND(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+           AS k_dist,
+         ROW_NUMBER() OVER (PARTITION BY a.pid
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) ASC,
+                    b.pid ASC) AS rn
+  FROM {layer} a JOIN {layer} b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {r2}
+   AND a.pid <> b.pid
+) WHERE rn = {k}
+""",
+        layer,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped numpy-kernel transformers (no SQL closed form): minimum bounding
+# circle + minimum rotated rectangle per feature group
+# ---------------------------------------------------------------------------
+
+
+def min_bounding_circles(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """FeatureToMinimumBoundingCircleProcess per group: (cat, mbc_x, mbc_y,
+    mbc_r). Arrow-batched Welzl over each group's hull (applyInPandas);
+    rows-only gate (non-SQL kernel), brute-force-verified in tests."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        cx, cy, r = geomlib.min_bounding_circle(xs, ys)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]],
+             "mbc_x": [round(cx, 6)], "mbc_y": [round(cy, 6)],
+             "mbc_r": [round(r, 6)]}
+        )
+
+    schema = f"{group_col} string, mbc_x double, mbc_y double, mbc_r double"
+    return (
+        planner.ensure_parallelism(points.select(group_col, "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )
+
+
+def min_rotated_rects(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """FeatureToMinimumRectangleProcess per group: (cat, mrr_area, mrr_w,
+    mrr_h). Rotating calipers over the group hull."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        area, _ang, w, h = geomlib.min_rotated_rect(xs, ys)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]],
+             "mrr_area": [round(area, 6)],
+             "mrr_w": [round(w, 6)], "mrr_h": [round(h, 6)]}
+        )
+
+    schema = f"{group_col} string, mrr_area double, mrr_w double, mrr_h double"
+    return (
+        planner.ensure_parallelism(points.select(group_col, "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )
