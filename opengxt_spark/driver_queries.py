@@ -2300,3 +2300,137 @@ def _reorder_gate() -> None:
 
 
 _reorder_gate()
+
+
+# ---------------------------------------------------------------------------
+# Buffer variants + remaining closed-form transformers (transforms_buffer.py)
+# + raster algebra tail + global-topology grouped kernels
+# ---------------------------------------------------------------------------
+
+from . import transforms_buffer  # noqa: E402
+
+
+@_register("wedge_buffers", transforms_buffer.wedge_buffers_oracle())
+def q_wedge_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WedgeBufferProcess: 45-degree sector per point (azimuth from the
+    weight field, trig-free)."""
+    return transforms_buffer.wedge_buffers(world.points_events(spark, sf_dir))
+
+
+@_register(
+    "single_sided_buffers",
+    transforms_buffer.single_sided_buffers_oracle("lines_orders", 6.0),
+)
+def q_single_sided_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleSidedBufferProcess: left-offset quad per segment, width 6."""
+    return transforms_buffer.single_sided_buffers(
+        world.load_layer(spark, sf_dir, "lines_orders"), distance=6.0
+    )
+
+
+@_register("variable_buffers", transforms_buffer.variable_buffers_oracle())
+def q_variable_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableBufferProcess: per-feature buffer distance from an attribute."""
+    return transforms_buffer.variable_buffers(world.points_part(spark, sf_dir))
+
+
+@_register(
+    "split_polygon_by_count",
+    transforms_buffer.split_polygon_by_count_oracle("rects_customer", 4),
+)
+def q_split_polygon_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitPolygonByCountProcess: 4 equal-area strips per rect."""
+    return transforms_buffer.split_polygon_by_count(
+        world.rects_customer(spark, sf_dir), k=4
+    )
+
+
+@_register("max_inscribed_circle", transforms_buffer.max_inscribed_circle_oracle())
+def q_max_inscribed_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureToMaximumInscribedCircle: closed form for axis-aligned rects."""
+    return transforms_buffer.max_inscribed_circle(
+        world.rects_customer(spark, sf_dir)
+    )
+
+
+@_register("force_dimension_3d", transforms_buffer.force_dimension_oracle())
+def q_force_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ForceDimensionProcess: 2D -> 3D coercion (z from the value field)."""
+    return transforms_buffer.force_dimension(world.points_part(spark, sf_dir))
+
+
+@_register("raster_highlow", raster.raster_highlow_oracle())
+def q_raster_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterHighLowPointsProcess: global max/min pixels, deterministic
+    tie-break."""
+    world.register_layers(spark, sf_dir)
+    return raster.raster_highlow(spark)
+
+
+@_register("raster_local_algebra", raster.raster_local_algebra_oracle())
+def q_raster_local_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local map-algebra tail: Con + SetNull + Math(sqrt) + Fuzzy linear
+    membership in one pass, per-block exact sums."""
+    world.register_layers(spark, sf_dir)
+    return raster.raster_local_algebra(spark)
+
+
+@_register("delaunay_groups")
+def q_delaunay_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelaunayTriangulationProcess per category (Bowyer-Watson grouped
+    kernel; rows-only gate — triangulation area == hull area and Euler
+    count verified in pytest)."""
+    return transforms_geom.delaunay_groups(world.points_part(spark, sf_dir)
+                                           .withColumn("cat", F.expr("CAST(pid % 5 AS STRING)")))
+
+
+@_register("concave_hull_groups")
+def q_concave_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConcaveHullProcess per category (alpha-shape over the Delaunay
+    triangulation; rows-only gate, invariants in pytest)."""
+    return transforms_geom.concave_hull_groups(
+        world.points_part(spark, sf_dir)
+        .withColumn("cat", F.expr("CAST(pid % 5 AS STRING)")),
+        alpha=40.0,
+    )
+
+
+_LSO_V_SQL = "CAST(FLOOR(ABS(bal) * 10.0) AS BIGINT) % 97"
+
+
+def _local_sa_overlay_oracle() -> str:
+    from .overlay_diff import mm_sql
+
+    nested = binning.stages_to_subquery(
+        "SELECT * FROM per_i CROSS JOIN moments", autocorr.LOCAL_G_STAGES
+    )
+    return world.with_layers(
+        f"""
+WITH rm AS (SELECT rid, {_LSO_V_SQL} AS v,
+            {mm_sql('cx - hw')} AS x0, {mm_sql('cx + hw')} AS x1,
+            {mm_sql('cy - hh')} AS y0, {mm_sql('cy + hh')} AS y1
+            FROM rects_customer),
+wp AS (SELECT a.rid AS pid_l, a.v AS vi, b.v AS vj
+       FROM rm a JOIN rm b
+         ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+        AND a.rid <> b.rid),
+moments AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+            CAST(SUM(v * v) AS BIGINT) AS s2 FROM rm),
+per_i AS (SELECT pid_l AS rid, vi AS v,
+          CAST(COUNT(*) + 1 AS BIGINT) AS deg_s,
+          CAST(SUM(vj) + vi AS BIGINT) AS loc_sum
+          FROM wp GROUP BY pid_l, vi)
+SELECT rid, ROUND(gi_z, 6) AS gi_z, ROUND(gi_p, 6) AS gi_p
+FROM {nested}
+""",
+        "rects_customer",
+    )
+
+
+@_register("local_sa_overlay", _local_sa_overlay_oracle())
+def q_local_sa_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalSAOverlayProcess: Gi* over the overlay layer under Queen
+    contiguity (selfNeighbors=true)."""
+    return weights.local_g_queen(
+        world.rects_customer(spark, sf_dir), _LSO_V_SQL
+    )

@@ -234,8 +234,11 @@ def _circle_3(p, q, r):
     return ux, uy, r2
 
 
-def _in_circle(c, p, eps=1e-9):
-    return (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1.0 + eps) + eps
+def _in_circle(c, p, tol2=0.0):
+    # tol2 is an absolute slack on SQUARED distance, sized by the caller from
+    # the data span (a fixed absolute epsilon silently swallows micro-scale
+    # geometry: span 1e-5 gives d^2 ~ 1e-10, far below any fixed 1e-9).
+    return (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1.0 + 1e-12) + tol2
 
 
 def min_bounding_circle(
@@ -253,17 +256,19 @@ def min_bounding_circle(
         return 0.0, 0.0, 0.0
     if len(pts) == 1:
         return pts[0][0], pts[0][1], 0.0
+    span = max(float(hx.max() - hx.min()), float(hy.max() - hy.min()))
+    tol2 = (1e-9 * span) ** 2
     c = _circle_2(pts[0], pts[1])
     for i, p in enumerate(pts):
-        if _in_circle(c, p):
+        if _in_circle(c, p, tol2):
             continue
         c = (p[0], p[1], 0.0)
         for j, q in enumerate(pts[:i]):
-            if _in_circle(c, q):
+            if _in_circle(c, q, tol2):
                 continue
             c = _circle_2(p, q)
             for r in pts[:j]:
-                if _in_circle(c, r):
+                if _in_circle(c, r, tol2):
                     continue
                 c3 = _circle_3(p, q, r)
                 if c3 is not None:
@@ -299,3 +304,105 @@ def min_rotated_rect(
         if best is None or area < best[0]:
             best = (area, float(np.arctan2(uy, ux)), max(w, h), min(w, h))
     return best
+
+
+# ---------------------------------------------------------------------------
+# Delaunay triangulation (Bowyer-Watson) + alpha-shape concave hull —
+# DelaunayTriangulationProcess (GT/operations/DelaunayTrangulationOperation
+# .java:51) and ConcaveHullProcess (GT/operations/ConcaveHullOperation
+# .java:57). Global-topology kernels run per feature group inside
+# applyInPandas (SURVEY §7.4's sanctioned grouped-kernel path); insertion
+# order is the (x, y) sort, so results are deterministic.
+# ---------------------------------------------------------------------------
+
+
+def delaunay(xs: np.ndarray, ys: np.ndarray):
+    """Bowyer-Watson Delaunay triangulation. Returns (n x 3) int array of
+    point indices (into the sorted-unique point set) per triangle, plus the
+    sorted points. Vectorized in-circumcircle test per insertion."""
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64), pts
+    # Super-triangle enclosing everything. The multiplier must dominate the
+    # largest circumradius any real triangle can have (near-collinear point
+    # triples produce huge circumcircles; a too-small super-triangle then
+    # sits inside them and the cavity repair drops hull-adjacent
+    # triangles). 1e4 x extent covers triples down to ~1e-4-relative
+    # collinearity while keeping the incircle determinant inside double
+    # precision.
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    m = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1e4
+    sp = np.array([[cx - 2 * m, cy - m], [cx + 2 * m, cy - m], [cx, cy + 2 * m]])
+    allp = np.vstack([pts, sp])
+    tris = [(n, n + 1, n + 2)]
+    for i in range(n):
+        px, py = pts[i]
+        t = np.array(tris, dtype=np.int64)
+        ax, ay = allp[t[:, 0], 0], allp[t[:, 0], 1]
+        bx, by = allp[t[:, 1], 0], allp[t[:, 1], 1]
+        cx2, cy2 = allp[t[:, 2], 0], allp[t[:, 2], 1]
+        # in-circumcircle via the 3x3 determinant (sign-corrected for
+        # orientation); positive => p inside
+        adx, ady = ax - px, ay - py
+        bdx, bdy = bx - px, by - py
+        cdx, cdy = cx2 - px, cy2 - py
+        d = (
+            (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+            - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+            + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+        )
+        orient = (bx - ax) * (cy2 - ay) - (cx2 - ax) * (by - ay)
+        bad = np.where(np.sign(orient) * d > 0)[0]
+        if len(bad) == 0:
+            continue
+        # boundary of the bad-triangle cavity = edges appearing once
+        edges: dict[tuple[int, int], int] = {}
+        for bi in bad:
+            a, b, c = tris[bi]
+            for e in ((a, b), (b, c), (c, a)):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        for bi in sorted(bad, reverse=True):
+            tris.pop(bi)
+        for (a, b), cnt in edges.items():
+            if cnt == 1:
+                tris.append((a, b, i))
+    out = [t for t in tris if max(t) < n]
+    return np.array(sorted(out), dtype=np.int64), pts
+
+
+def tri_metrics(tris: np.ndarray, pts: np.ndarray):
+    """(areas, circumradii) per triangle — exact double arithmetic."""
+    if len(tris) == 0:
+        return np.empty(0), np.empty(0)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+        c[:, 0] - a[:, 0]
+    ) * (b[:, 1] - a[:, 1])
+    areas = 0.5 * np.abs(cross)
+    la = np.hypot(b[:, 0] - c[:, 0], b[:, 1] - c[:, 1])
+    lb = np.hypot(a[:, 0] - c[:, 0], a[:, 1] - c[:, 1])
+    lc = np.hypot(a[:, 0] - b[:, 0], a[:, 1] - b[:, 1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        circum = (la * lb * lc) / (4.0 * np.maximum(areas, 1e-300))
+    return areas, circum
+
+
+def alpha_shape_metrics(
+    xs: np.ndarray, ys: np.ndarray, alpha: float
+) -> tuple[float, int, int]:
+    """Concave hull as the alpha-shape: keep Delaunay triangles with
+    circumradius <= alpha; returns (kept_area, n_kept, n_boundary_edges).
+    The boundary edges are those used by exactly one kept triangle."""
+    tris, pts = delaunay(xs, ys)
+    areas, circum = tri_metrics(tris, pts)
+    keep = circum <= alpha
+    kept = tris[keep]
+    edges: dict[tuple[int, int], int] = {}
+    for a, b, c in kept:
+        for e in ((a, b), (b, c), (c, a)):
+            k = (min(e), max(e))
+            edges[k] = edges.get(k, 0) + 1
+    boundary = sum(1 for v in edges.values() if v == 1)
+    return float(areas[keep].sum()), int(keep.sum()), boundary

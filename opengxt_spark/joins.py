@@ -24,23 +24,39 @@ from pyspark.sql import functions as F
 from . import cells, planner, world
 
 
-# Intermediates persisted by two-phase joins (phase-1 results feed both the
-# output union and the anti-join). Spark's CacheManager holds them until
-# explicitly unpersisted, so long sessions running many queries should call
-# release_scratch() between queries to keep executor storage flat.
+# Intermediates persisted by two-phase joins (phase-1 results feed the
+# output union, the anti-join, AND the planner's strategy probes). The
+# persist is EAGER (count() at build time): a lazily-cached DataFrame with
+# multiple consumers inside one action makes concurrent tasks race on
+# absent blocks — each computes the partition itself, duplicating phase-1
+# work proportionally to parallelism (measured: knn_join 1.4s at local[4]
+# vs 4.9s at local[16] with 3x run-to-run swings; dropping the persist is
+# worse still, since the eager strategy probes then re-execute the whole
+# phase-1 subtree several times). Materializing once at plan-build time
+# makes every consumer a pure cache scan — deterministic and linear.
+# Spark's CacheManager holds the blocks until explicitly unpersisted, so
+# long sessions should call release_scratch() between queries (the query
+# registry does this automatically).
 _SCRATCH: list[DataFrame] = []
 
 
 def _persist_scratch(df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize now — see the race note above
     _SCRATCH.append(df)
     return df
 
 
 def release_scratch() -> None:
-    """Unpersist all two-phase join intermediates (non-blocking)."""
+    """Unpersist all ring-expansion intermediates (BLOCKING).
+
+    Async unpersist leaves the old blocks competing with the next query's
+    execution memory for seconds — measured as a 3x slowdown of an
+    identical repeat run (24s -> 76s at local[4]); the blocking drop costs
+    milliseconds and makes timings reproducible.
+    """
     for df in _SCRATCH:
-        df.unpersist(False)
+        df.unpersist(True)
     _SCRATCH.clear()
 
 
@@ -77,6 +93,72 @@ def adaptive_cell_size(rects: DataFrame) -> float:
         _CELL_SIZE_CACHE.clear()
     _CELL_SIZE_CACHE[key] = cs
     return cs
+
+
+_DENSITY_CACHE: dict[int, float] = {}
+
+
+def point_density(points: DataFrame) -> float:
+    """Points per unit area over the layer's bbox — the plan-time probe
+    that sizes adaptive first-phase radii (memoized per logical plan)."""
+    key = hash(points._jdf.queryExecution().logical().toString())
+    if key in _DENSITY_CACHE:
+        return _DENSITY_CACHE[key]
+    row = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()[0]
+    area = max(
+        (float(row["x1"]) - float(row["x0"]))
+        * (float(row["y1"]) - float(row["y0"])),
+        1e-9,
+    )
+    rho = float(row["n"]) / area
+    if len(_DENSITY_CACHE) > 256:
+        _DENSITY_CACHE.clear()
+    _DENSITY_CACHE[key] = rho
+    return rho
+
+
+def _adaptive_first_radius(right: DataFrame, expected: float, radius: float) -> float:
+    """Phase-1 radius sized so a point expects ``expected`` in-band
+    neighbors: r1 = sqrt(expected / (pi * density)). A fixed fraction of
+    the search radius over-fetches quadratically in dense layers — at the
+    bench density a radius/4 rule pulled ~54 candidates per point for a
+    k=4 query (the true need is ~k): candidate volume IS the cost of the
+    phase-1 window, so this probe is the difference between a linear and
+    an accidentally-quadratic plan."""
+    import math
+
+    rho = point_density(right)
+    if rho <= 0:
+        return radius / 4.0
+    r1 = math.sqrt(expected / (math.pi * rho))
+    return min(max(r1, 1e-3), radius)
+
+
+_RIGHT_COUNT_CACHE: dict[int, int] = {}
+
+
+def _ring_strategy(right: DataFrame, radius: float, cell_size: float) -> str:
+    """Explicit build strategy for a ring join, decided from one memoized
+    count instead of planner.choose_strategy's per-call limit-count job —
+    the ring loop issues several joins per query and each probe job adds
+    serial driver latency that caps scaling at bench sizes."""
+    key = hash(right._jdf.queryExecution().logical().toString())
+    n = _RIGHT_COUNT_CACHE.get(key)
+    if n is None:
+        n = right.count()
+        if len(_RIGHT_COUNT_CACHE) > 256:
+            _RIGHT_COUNT_CACHE.clear()
+        _RIGHT_COUNT_CACHE[key] = n
+    cells_per = max(1.0, 3.3 * (radius / cell_size) ** 2)
+    return (
+        "broadcast"
+        if n * cells_per <= planner.BROADCAST_ROW_LIMIT
+        else "shuffle"
+    )
 
 
 def pip_count_join(
@@ -507,17 +589,29 @@ def nearest_join(
     needs iterative ring expansion; at 100 TB a radius cap (the reference's
     ``searchRadius``) keeps the candidate set O(points-per-cell).
     """
-    # Two-phase adaptive radius (same trick as knn_join): a wide search
-    # radius over a dense layer yields O(n * pi r^2 * density) candidate
-    # pairs; most left rows find their nearest within a much smaller ring.
-    # Phase 1 at first_radius (default radius/8) resolves them — a nearest
-    # within r1 is the global nearest within radius, since anything outside
-    # phase 1's band is farther. Only the unresolved remainder (P ~ e^-λ)
-    # pays the full-radius candidate cost. Semantics identical.
-    r1 = first_radius if first_radius is not None else radius / 8.0
+    # Iterative ring expansion (SURVEY §2.4): a wide search radius over a
+    # dense layer yields O(n * pi r^2 * density) candidate pairs; most left
+    # rows find their nearest within a much smaller ring. Start at the
+    # density-probed radius expecting ~3 neighbors and grow geometrically,
+    # re-joining only the shrinking unresolved remainder — each step's
+    # survivor fraction is P(Poisson(λ_step) = 0), so the tail work decays
+    # super-exponentially and total candidate volume stays within ~1.5x of
+    # the first ring. A nearest within ring r is the global nearest within
+    # ``radius`` (anything outside the ring is farther) — semantics
+    # identical to the single-phase join.
+    r1 = (
+        first_radius
+        if first_radius is not None
+        else _adaptive_first_radius(right, 3.0, radius)
+    )
+    lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+    explicit_strategy = kw.pop("strategy", None)
 
-    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
-        p = distance_band_join(lf, right, rad, **kw, **xkw)
+    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+        strat = explicit_strategy or _ring_strategy(
+            right, rad, max(rad / 2.0, 1e-6)
+        )
+        p = distance_band_join(lf, right, rad, strategy=strat, **kw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -525,20 +619,41 @@ def nearest_join(
     if r1 <= 0 or r1 >= radius:
         best = _nearest_reduce(_pairs(left, radius))
     else:
-        lid = kw.get("left_cols", ("pid", "x", "y"))[0]
-        # resolved feeds both the output union and the anti-join; persist so
-        # the phase-1 pair join executes once, not once per consumer.
-        resolved = _persist_scratch(_nearest_reduce(_pairs(left, r1)))
-        rest = left.join(
-            resolved.select("pid_l"),
-            on=F.col(lid) == F.col("pid_l"),
-            how="left_anti",
-        )
-        best = resolved.unionByName(
-            _nearest_reduce(_pairs(rest, radius, build="left", strategy="broadcast"))
-        )
+        # Each ring's min-reduction IS the resolution decision: a point
+        # appears in the ring output iff it has an in-ring neighbor, so the
+        # eagerly-persisted step result (see _persist_scratch) serves both
+        # the output union and the anti-join that selects the shrinking
+        # remainder. The explicit _ring_strategy avoids a per-ring planner
+        # probe job.
+        parts: list[DataFrame] = []
+        pending = left
+        r = r1
+        growth = 3.0
+        while True:
+            final = r >= radius
+            step = _nearest_reduce(_pairs(pending, min(r, radius)))
+            if final:
+                parts.append(step)
+                break
+            step = _persist_scratch(step)
+            parts.append(step)
+            pending = _persist_scratch(
+                pending.join(
+                    # SHUFFLE_HASH: broadcasting a multi-million-id set
+                    # serializes through the driver; the shuffled anti-join
+                    # stays parallel at every level.
+                    step.select("pid_l").hint("SHUFFLE_HASH"),
+                    on=F.col(lid) == F.col("pid_l"),
+                    how="left_anti",
+                )
+            )
+            if pending.count() == 0:
+                break
+            r *= growth
+        best = parts[0]
+        for p in parts[1:]:
+            best = best.unionByName(p)
     if keep_all:
-        lid = kw.get("left_cols", ("pid", "x", "y"))[0]
         base = left.select(F.col(lid).alias("pid_l"))
         return base.join(best, on="pid_l", how="left")
     return best
@@ -569,17 +684,26 @@ def knn_join(
     Scale plan — **two-phase adaptive radius** (the iterative k-ring
     expansion of SURVEY.md §2.4): a fixed search radius wide enough for
     sparse regions over-fetches quadratically in dense ones. Phase 1 joins
-    at ``first_radius`` (default radius/4); every left point that already
-    found >= k neighbors there is final (its kth neighbor is closer than
-    first_radius < radius, so nothing outside phase 1 can displace it).
-    Only the unresolved remainder re-joins at the full radius. Semantics are
-    identical to the single-phase join.
+    at ``first_radius`` (default: the density-probed radius expecting
+    ~k+4 neighbors); every left point that already found >= k neighbors
+    there is final (its kth neighbor is closer than first_radius < radius,
+    so nothing outside phase 1 can displace it). Only the unresolved
+    remainder re-joins at the full radius. Semantics are identical to the
+    single-phase join.
     """
-    r1 = first_radius if first_radius is not None else radius / 4.0
+    r1 = (
+        first_radius
+        if first_radius is not None
+        else _adaptive_first_radius(right, float(k) + 4.0, radius)
+    )
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+    explicit_strategy = kw.pop("strategy", None)
 
-    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
-        p = distance_band_join(lf, right, rad, **kw, **xkw)
+    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+        strat = explicit_strategy or _ring_strategy(
+            right, rad, max(rad / 2.0, 1e-6)
+        )
+        p = distance_band_join(lf, right, rad, strategy=strat, **kw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -587,29 +711,66 @@ def knn_join(
     if r1 <= 0 or r1 >= radius:
         return _knn_rank(_pairs(left, radius), k)
 
-    # One window sort serves both rank and neighbor count (same partition +
-    # order key, count over the unbounded frame); only the tiny top-k slice
-    # is persisted — it feeds the resolved output AND the anti-join that
-    # decides who re-runs at the full radius.
-    w_ord = Window.partitionBy("pid_l").orderBy(
-        F.col("d2").asc(), F.col("pid_r").asc()
-    )
-    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    topk1 = (
-        _pairs(left, r1)
-        .withColumn("rank", F.row_number().over(w_ord))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
-        .where(F.col("rank") <= k)
-    )
-    topk1 = _persist_scratch(topk1)
-    resolved = topk1.where(F.col("_n") >= k).drop("_n")
-    rest = left.join(
-        topk1.where(F.col("_n") >= k).select("pid_l").distinct(),
-        on=F.col(lid) == F.col("pid_l"),
-        how="left_anti",
-    )
-    rest_topk = _knn_rank(_pairs(rest, radius, build="left", strategy="broadcast"), k)
-    return resolved.unionByName(rest_topk)
+    # Iterative ring expansion. Per step the top-k reduction is a HASH
+    # aggregate — sort_array(collect_list(struct(d2, pid_r, dist))) sliced
+    # to k — not a window: collect_list combines map-side and the per-group
+    # sort touches ~λ elements, so no step ever sorts the full pair table.
+    # A point whose ring already holds >= k neighbors is final (its kth
+    # neighbor is closer than the ring radius, so nothing outside can
+    # displace it); survivors continue to the next, 3x wider ring. Ring
+    # membership is decided by the CHEAP aggregated count (band_stats_join,
+    # integer partial sums, no pair materialization), so the expensive
+    # pair join + top-k agg has exactly one consumer and nothing large is
+    # persisted — only the shrinking ``pending`` id set (eagerly, see
+    # _persist_scratch).
+    def _topk_agg(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("pid_l").agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("d2", "pid_r", "dist"))),
+                1, k,
+            ).alias("_lst"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    def _explode_topk(agg: DataFrame) -> DataFrame:
+        ex = agg.select(
+            "pid_l",
+            F.posexplode(F.col("_lst")).alias("_pos", "_e"),
+        )
+        return ex.select(
+            "pid_l",
+            F.col("_e.pid_r").alias("pid_r"),
+            F.col("_e.d2").alias("d2"),
+            F.col("_e.dist").alias("dist"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+
+    parts: list[DataFrame] = []
+    pending = left
+    r = r1
+    growth = 3.0
+    while True:
+        final = r >= radius
+        if final:
+            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius))))
+            break
+        agg = _persist_scratch(_topk_agg(_pairs(pending, r)))
+        parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
+        pending = _persist_scratch(
+            pending.join(
+                # SHUFFLE_HASH: see the nearest_join anti-join note.
+                agg.where(F.col("_n") >= k).select("pid_l").hint("SHUFFLE_HASH"),
+                on=F.col(lid) == F.col("pid_l"),
+                how="left_anti",
+            )
+        )
+        if pending.count() == 0:
+            break
+        r *= growth
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def attribute_join(

