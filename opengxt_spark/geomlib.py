@@ -406,3 +406,116 @@ def alpha_shape_metrics(
             edges[k] = edges.get(k, 0) + 1
     boundary = sum(1 for v in edges.values() if v == 1)
     return float(areas[keep].sum()), int(keep.sum()), boundary
+
+
+# ---------------------------------------------------------------------------
+# Thiessen (Voronoi) cells — ThiessenPolygonProcess (GT/operations/
+# ThiessenPolygonOperation.java:88-103: JTS VoronoiDiagramBuilder with the
+# clip envelope expanded by 20% of the point bounds). Exact per-point cell
+# by iterated half-plane clipping of the clip rectangle against the
+# perpendicular bisector of (p, q) for every other site q — O(n) clips of
+# an O(1)-vertex polygon per site, O(n^2) per group; runs per feature
+# group inside applyInPandas (the raster discrete_voronoi remains the
+# global-scale path, SURVEY §7.4).
+# ---------------------------------------------------------------------------
+
+
+def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of polygon (n x 2) to a*x + b*y <= c."""
+    n = len(poly)
+    if n == 0:
+        return poly
+    out = []
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        fp = a * p[0] + b * p[1] - c
+        fq = a * q[0] + b * q[1] - c
+        if fp <= 0:
+            out.append(p)
+        if (fp < 0 < fq) or (fq < 0 < fp):
+            t = fp / (fp - fq)
+            out.append(p + t * (q - p))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def voronoi_cell(
+    i: int, xs: np.ndarray, ys: np.ndarray,
+    bbox: tuple[float, float, float, float],
+) -> np.ndarray:
+    """Voronoi cell of site i within bbox as an (m x 2) vertex array."""
+    x0, y0, x1, y1 = bbox
+    poly = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+    px, py = xs[i], ys[i]
+    for j in range(len(xs)):
+        if j == i:
+            continue
+        qx, qy = xs[j], ys[j]
+        # half-plane closer to p than q: (q-p).v <= (|q|^2-|p|^2)/2
+        a, b = qx - px, qy - py
+        c = (qx * qx + qy * qy - px * px - py * py) / 2.0
+        poly = _clip_halfplane(poly, a, b, c)
+        if len(poly) == 0:
+            break
+    return poly
+
+
+def shoelace(poly: np.ndarray) -> float:
+    """Signed area of an (n x 2) polygon (CCW positive)."""
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return float(
+        0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    )
+
+
+def voronoi_metrics(
+    xs: np.ndarray, ys: np.ndarray,
+    expand: float = 0.2,
+) -> tuple[np.ndarray, np.ndarray, tuple[float, float, float, float]]:
+    """Per-site Voronoi cell (area, n_vertices) clipped to the 20%-expanded
+    point bbox (reference clipEnvelope default). Returns (areas, nverts,
+    bbox)."""
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    dx, dy = (x1 - x0) * expand, (y1 - y0) * expand
+    bbox = (x0 - dx, y0 - dy, x1 + dx, y1 + dy)
+    n = len(xs)
+    areas = np.zeros(n)
+    nverts = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        cell = voronoi_cell(i, xs, ys, bbox)
+        areas[i] = abs(shoelace(cell))
+        nverts[i] = len(cell)
+    return areas, nverts, bbox
+
+
+# ---------------------------------------------------------------------------
+# Ring repair — RepairGeometryProcess (GT/RepairGeometryProcess.java:41 /
+# FeatureFactory validate+fix): close unclosed rings, drop consecutive
+# duplicate vertices, normalize orientation to CCW (positive area), reject
+# degenerate rings (< 3 distinct vertices).
+# ---------------------------------------------------------------------------
+
+
+def repair_ring(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Repair one polygon ring given as open or closed vertex arrays.
+    Returns (rx, ry, valid) with the ring open (no repeated last vertex),
+    CCW-oriented, consecutive duplicates removed."""
+    if len(xs) and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]  # drop explicit closure
+    keep = np.ones(len(xs), dtype=bool)
+    for i in range(1, len(xs)):
+        if xs[i] == xs[i - 1] and ys[i] == ys[i - 1]:
+            keep[i] = False
+    xs, ys = xs[keep], ys[keep]
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    if len(xs) < 3:
+        return xs, ys, False
+    area = shoelace(np.column_stack([xs, ys]))
+    if area == 0.0:
+        return xs, ys, False
+    if area < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    return xs, ys, True

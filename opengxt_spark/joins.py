@@ -607,11 +607,12 @@ def nearest_join(
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
     explicit_strategy = kw.pop("strategy", None)
 
-    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
-        strat = explicit_strategy or _ring_strategy(
-            right, rad, max(rad / 2.0, 1e-6)
-        )
-        p = distance_band_join(lf, right, rad, strategy=strat, **kw)
+    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
+        if "strategy" not in xkw:
+            xkw["strategy"] = explicit_strategy or _ring_strategy(
+                right, rad, max(rad / 2.0, 1e-6)
+            )
+        p = distance_band_join(lf, right, rad, **kw, **xkw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -627,11 +628,31 @@ def nearest_join(
         # probe job.
         parts: list[DataFrame] = []
         pending = left
+        npend = None  # unknown until the first anti-join materializes
         r = r1
-        growth = 3.0
+        # Aggressive growth: survivors of ring r are Poisson(λ(r))-empty
+        # points, so the unresolved fraction collapses super-exponentially
+        # and ring volume stays bounded (ring 2 ≈ e^-3 × 64λ1 ≈ 3.2× ring
+        # 1's volume). Fewer rings matter more than tighter rings: every
+        # ring costs two serial driver jobs (persist-count of the step and
+        # of the remainder), a fixed latency that parallelism cannot
+        # shrink — measured as the scaling-efficiency cap on this query.
+        growth = 8.0
         while True:
             final = r >= radius
-            step = _nearest_reduce(_pairs(pending, min(r, radius)))
+            # Rings after the first flip the build side: ``pending`` has
+            # collapsed to a few percent, so exploding ITS disc cover and
+            # broadcasting it against the un-exploded right layer replaces
+            # a full right-side explode+shuffle per ring (which costs the
+            # same regardless of how small the remainder is) with a narrow
+            # probe scan. The materialized pending count makes the
+            # decision exact, not a probe job.
+            xkw = {}
+            if npend is not None:
+                cells_per = 3.3 * 4.0  # cell size = rad/2 -> ~13 cells/row
+                if npend * cells_per <= planner.BROADCAST_ROW_LIMIT:
+                    xkw = {"build": "left", "strategy": "broadcast"}
+            step = _nearest_reduce(_pairs(pending, min(r, radius), **xkw))
             if final:
                 parts.append(step)
                 break
@@ -647,7 +668,8 @@ def nearest_join(
                     how="left_anti",
                 )
             )
-            if pending.count() == 0:
+            npend = pending.count()
+            if npend == 0:
                 break
             r *= growth
         best = parts[0]
@@ -699,11 +721,12 @@ def knn_join(
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
     explicit_strategy = kw.pop("strategy", None)
 
-    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
-        strat = explicit_strategy or _ring_strategy(
-            right, rad, max(rad / 2.0, 1e-6)
-        )
-        p = distance_band_join(lf, right, rad, strategy=strat, **kw)
+    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
+        if "strategy" not in xkw:
+            xkw["strategy"] = explicit_strategy or _ring_strategy(
+                right, rad, max(rad / 2.0, 1e-6)
+            )
+        p = distance_band_join(lf, right, rad, **kw, **xkw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -747,14 +770,23 @@ def knn_join(
 
     parts: list[DataFrame] = []
     pending = left
+    npend = None
     r = r1
-    growth = 3.0
+    # growth 5: one mid ring between the adaptive first radius and the cap
+    # in the common case. Same two levers as nearest_join: fewer rings =
+    # fewer serial driver jobs, and rings after the first build on the
+    # collapsed ``pending`` side (explode+broadcast it) instead of paying a
+    # full right-layer explode+shuffle per ring.
+    growth = 5.0
     while True:
         final = r >= radius
+        xkw = {}
+        if npend is not None and npend * 3.3 * 4.0 <= planner.BROADCAST_ROW_LIMIT:
+            xkw = {"build": "left", "strategy": "broadcast"}
         if final:
-            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius))))
+            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius, **xkw))))
             break
-        agg = _persist_scratch(_topk_agg(_pairs(pending, r)))
+        agg = _persist_scratch(_topk_agg(_pairs(pending, r, **xkw)))
         parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
         pending = _persist_scratch(
             pending.join(
@@ -764,7 +796,8 @@ def knn_join(
                 how="left_anti",
             )
         )
-        if pending.count() == 0:
+        npend = pending.count()
+        if npend == 0:
             break
         r *= growth
     out = parts[0]

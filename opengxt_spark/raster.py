@@ -1681,3 +1681,94 @@ SELECT CAST(FLOOR(ix / 25) AS BIGINT) AS bx,
        CAST(SUM(fuzzyu) AS BIGINT) AS fuzzy_sum_u
 FROM px GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# RasterToPolygonProcess — zone vectorization (RasterToPolygonOperation
+# .java:55, backed by the jaitools vectorizer): contiguous equal-value
+# regions become polygons. The distributed form vectorizes by **boundary
+# extraction**: a pixel edge lies on a zone outline iff its 4-neighbour
+# across that edge is missing (grid border) or belongs to a different
+# zone. Per zone we emit the exact polygonal invariants (cell count, area,
+# outline length, bbox) rather than assembled rings — ring assembly is a
+# per-zone driver-side step the reference does in JAI; the boundary-edge
+# table IS the distributed representation (and is what a renderer or a
+# downstream dissolve consumes at scale). One equi-join on the shifted
+# pixel key — shuffle-partitioned on (ix, iy), linear in pixels.
+# ---------------------------------------------------------------------------
+
+_R2P_ZONE = "CAST(FLOOR(CAST(v AS DOUBLE) / 100.0) AS BIGINT)"
+_R2P_CELL = 2.0  # world units per pixel (ZONAL_GRID)
+
+
+def raster_to_polygon(spark: SparkSession) -> DataFrame:
+    """Per zone: (zone, n_cells, area, outline_edges, outline_len, bbox)."""
+    pixels = planner.ensure_parallelism(
+        spark.sql(ZONAL_PIXELS_SQL_SPARK)
+    ).selectExpr("ix", "iy", f"{_R2P_ZONE} AS zone")
+    dirs = spark.range(4).selectExpr(
+        "CAST(CASE WHEN id = 0 THEN 1 WHEN id = 1 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS dx",
+        "CAST(CASE WHEN id = 2 THEN 1 WHEN id = 3 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS dy",
+    )
+    probe = pixels.crossJoin(F.broadcast(dirs)).selectExpr(
+        "ix", "iy", "zone", "ix + dx AS nx", "iy + dy AS ny"
+    )
+    nb = pixels.selectExpr(
+        "ix AS nx", "iy AS ny", "zone AS nzone"
+    )
+    edges = probe.join(nb, ["nx", "ny"], "left").where(
+        "nzone IS NULL OR nzone <> zone"
+    )
+    e = edges.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("outline_edges")
+    )
+    c = pixels.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("ix").alias("min_ix"), F.max("ix").alias("max_ix"),
+        F.min("iy").alias("min_iy"), F.max("iy").alias("max_iy"),
+    )
+    return c.join(e, "zone").selectExpr(
+        "zone", "n_cells",
+        f"ROUND(CAST(n_cells AS DOUBLE) * {dlit(_R2P_CELL * _R2P_CELL)}, 6)"
+        " AS area",
+        "outline_edges",
+        f"ROUND(CAST(outline_edges AS DOUBLE) * {dlit(_R2P_CELL)}, 6)"
+        " AS outline_len",
+        "min_ix", "max_ix", "min_iy", "max_iy",
+    )
+
+
+def raster_to_polygon_oracle() -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+pz AS (SELECT ix, iy, {_R2P_ZONE} AS zone FROM pix),
+dirs AS (
+  SELECT CAST(CASE WHEN id = 0 THEN 1 WHEN id = 1 THEN -1 ELSE 0 END
+         AS BIGINT) AS dx,
+         CAST(CASE WHEN id = 2 THEN 1 WHEN id = 3 THEN -1 ELSE 0 END
+         AS BIGINT) AS dy
+  FROM (SELECT UNNEST(generate_series(0, 3)) AS id)
+),
+edges AS (
+  SELECT p.zone
+  FROM pz p CROSS JOIN dirs d
+  LEFT JOIN pz n ON n.ix = p.ix + d.dx AND n.iy = p.iy + d.dy
+  WHERE n.zone IS NULL OR n.zone <> p.zone
+),
+e AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS outline_edges
+      FROM edges GROUP BY zone),
+c AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MIN(ix) AS min_ix, MAX(ix) AS max_ix,
+             MIN(iy) AS min_iy, MAX(iy) AS max_iy
+      FROM pz GROUP BY zone)
+SELECT c.zone, c.n_cells,
+       ROUND(CAST(c.n_cells AS DOUBLE) * {dlit(_R2P_CELL * _R2P_CELL)}, 6)
+         AS area,
+       e.outline_edges,
+       ROUND(CAST(e.outline_edges AS DOUBLE) * {dlit(_R2P_CELL)}, 6)
+         AS outline_len,
+       c.min_ix, c.max_ix, c.min_iy, c.max_iy
+FROM c JOIN e ON e.zone = c.zone
+"""

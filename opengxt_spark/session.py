@@ -45,12 +45,12 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.requireAllClusterKeysForDistribution", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # pre-size the heap: growth from a small -Xms causes repeated full
-        # GCs during the first large join and wild first-run variance
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "48g"),
-        )
+        # Do NOT pre-size the heap (-Xms = max). Measured A/B on the bench
+        # suite: with -Xms48g the second query execution stalls 60-100 s in
+        # kernel time while G1 first-touches tens of GB of untouched heap
+        # (page zeroing shows as 40% system time at zero user time); with a
+        # growing heap the same run sequence is flat at steady state. The
+        # stall was misdiagnosed in round 1 as external load.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
