@@ -42,7 +42,9 @@ _SCRATCH: list[DataFrame] = []
 
 def _persist_scratch(df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()  # materialize now — see the race note above
+    # materialize now — see the race note above; the count rides along so
+    # ring loops can size budgets without a second (cache-scan) job
+    df._scratch_rows = df.count()
     _SCRATCH.append(df)
     return df
 
@@ -156,9 +158,57 @@ def _ring_strategy(right: DataFrame, radius: float, cell_size: float) -> str:
     cells_per = max(1.0, 3.3 * (radius / cell_size) ** 2)
     return (
         "broadcast"
-        if n * cells_per <= planner.BROADCAST_ROW_LIMIT
+        if n * cells_per <= RING_BROADCAST_LIMIT
         else "shuffle"
     )
+
+
+#: Ring joins broadcast only truly small builds: broadcast construction is
+#: a DRIVER-SERIAL fixed cost that caps N-vs-4N scaling efficiency
+#: (Amdahl), and the measured crossover sits far below the general
+#: BROADCAST_ROW_LIMIT — a 1.8M-row ring build ran 15-20% slower
+#: broadcast than shuffled even at local[16], with the gap widening at
+#: lower parallelism.
+RING_BROADCAST_LIMIT = 400_000
+
+
+def _ring_cell_size(r: float, rho: float) -> float:
+    """Ring-join cell size balancing the two linear costs of the cell join:
+    build explode+shuffle rows (~(2r/cs + 1)^2 per build row — the +1
+    discretization term DOMINATES when cs ~ r, which the 3.3(r/cs)^2
+    asymptotic hides) against candidate evaluations (~rho * (2r + cs)^2 per
+    probe row). Shuffled rows cost ~100x a codegen'd distance test, so when
+    the expected per-cell occupancy rho*cs^2 is below ~2 the fine r/2 grid
+    moves more build rows than it saves in candidates. Measured at the
+    bench density (rho=0.48, r=1.41): cs=r/2 10.7s, cs=2r 2.5s at
+    local[16]. cs = 1.5/sqrt(rho) targets occupancy 2.25, clamped to
+    [r/2, 3r] so dense layers keep the fine grid (r/2 minimizes candidate
+    volume when explode is amortized) and the cover never collapses to a
+    single giant cell."""
+    if rho <= 0:
+        return max(r / 2.0, 1e-6)
+    return min(max(r / 2.0, 1.5 / rho**0.5), max(3.0 * r, 1e-6))
+
+
+def _next_ring_radius(
+    r: float, radius: float, npend: int, rho: float, pairs_budget: float
+) -> float:
+    """Work-equalized ring growth: size the next radius so the expected
+    pair volume npend * pi * rho * r^2 matches ``pairs_budget`` (~ring 1's
+    volume). Survivors of ring r are Poisson-empty points, so npend has
+    collapsed ~e^-lambda and the equal-work radius jumps far (lambda
+    multiplies by n/npend each ring) — survivor probability falls
+    DOUBLY-exponentially and the loop ends in 2-3 rings without ever
+    over-fetching (a fixed geometric growth either jumps to the cap and
+    pulls lambda(cap) ~ 10^3 candidates per pending point, or crawls and
+    pays two serial driver jobs per ring; both measured as the
+    scaling-efficiency cap on this query)."""
+    import math
+
+    if rho <= 0 or npend <= 0:
+        return radius
+    r2 = math.sqrt(pairs_budget / (math.pi * rho * npend))
+    return min(radius, max(r2, 2.0 * r))
 
 
 def pip_count_join(
@@ -599,6 +649,7 @@ def nearest_join(
     # the first ring. A nearest within ring r is the global nearest within
     # ``radius`` (anything outside the ring is farther) — semantics
     # identical to the single-phase join.
+    rho = point_density(right)
     r1 = (
         first_radius
         if first_radius is not None
@@ -606,13 +657,12 @@ def nearest_join(
     )
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
     explicit_strategy = kw.pop("strategy", None)
+    explicit_cell = kw.pop("cell_size", None)
 
-    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
-        if "strategy" not in xkw:
-            xkw["strategy"] = explicit_strategy or _ring_strategy(
-                right, rad, max(rad / 2.0, 1e-6)
-            )
-        p = distance_band_join(lf, right, rad, **kw, **xkw)
+    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+        cs = explicit_cell or _ring_cell_size(rad, rho)
+        strat = explicit_strategy or _ring_strategy(right, rad, cs)
+        p = distance_band_join(lf, right, rad, cell_size=cs, strategy=strat, **kw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -625,34 +675,18 @@ def nearest_join(
         # eagerly-persisted step result (see _persist_scratch) serves both
         # the output union and the anti-join that selects the shrinking
         # remainder. The explicit _ring_strategy avoids a per-ring planner
-        # probe job.
+        # probe job. Ring radii are work-equalized (_next_ring_radius):
+        # ring 1 expects ~3 neighbors per point; each later ring spends the
+        # same pair budget over the collapsed remainder, so survivor
+        # probability falls doubly-exponentially and the loop ends in 2-3
+        # rings.
         parts: list[DataFrame] = []
         pending = left
-        npend = None  # unknown until the first anti-join materializes
+        budget = None
         r = r1
-        # Aggressive growth: survivors of ring r are Poisson(λ(r))-empty
-        # points, so the unresolved fraction collapses super-exponentially
-        # and ring volume stays bounded (ring 2 ≈ e^-3 × 64λ1 ≈ 3.2× ring
-        # 1's volume). Fewer rings matter more than tighter rings: every
-        # ring costs two serial driver jobs (persist-count of the step and
-        # of the remainder), a fixed latency that parallelism cannot
-        # shrink — measured as the scaling-efficiency cap on this query.
-        growth = 8.0
         while True:
             final = r >= radius
-            # Rings after the first flip the build side: ``pending`` has
-            # collapsed to a few percent, so exploding ITS disc cover and
-            # broadcasting it against the un-exploded right layer replaces
-            # a full right-side explode+shuffle per ring (which costs the
-            # same regardless of how small the remainder is) with a narrow
-            # probe scan. The materialized pending count makes the
-            # decision exact, not a probe job.
-            xkw = {}
-            if npend is not None:
-                cells_per = 3.3 * 4.0  # cell size = rad/2 -> ~13 cells/row
-                if npend * cells_per <= planner.BROADCAST_ROW_LIMIT:
-                    xkw = {"build": "left", "strategy": "broadcast"}
-            step = _nearest_reduce(_pairs(pending, min(r, radius), **xkw))
+            step = _nearest_reduce(_pairs(pending, min(r, radius)))
             if final:
                 parts.append(step)
                 break
@@ -668,10 +702,12 @@ def nearest_join(
                     how="left_anti",
                 )
             )
-            npend = pending.count()
+            npend = pending._scratch_rows
             if npend == 0:
                 break
-            r *= growth
+            if budget is None:
+                budget = max(3.0 * (step._scratch_rows + npend), 1e6)
+            r = _next_ring_radius(r, radius, npend, rho, budget)
         best = parts[0]
         for p in parts[1:]:
             best = best.unionByName(p)
@@ -713,6 +749,7 @@ def knn_join(
     remainder re-joins at the full radius. Semantics are identical to the
     single-phase join.
     """
+    rho = point_density(right)
     r1 = (
         first_radius
         if first_radius is not None
@@ -720,13 +757,12 @@ def knn_join(
     )
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
     explicit_strategy = kw.pop("strategy", None)
+    explicit_cell = kw.pop("cell_size", None)
 
-    def _pairs(lf: DataFrame, rad: float, **xkw) -> DataFrame:
-        if "strategy" not in xkw:
-            xkw["strategy"] = explicit_strategy or _ring_strategy(
-                right, rad, max(rad / 2.0, 1e-6)
-            )
-        p = distance_band_join(lf, right, rad, **kw, **xkw)
+    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+        cs = explicit_cell or _ring_cell_size(rad, rho)
+        strat = explicit_strategy or _ring_strategy(right, rad, cs)
+        p = distance_band_join(lf, right, rad, cell_size=cs, strategy=strat, **kw)
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -768,25 +804,22 @@ def knn_join(
             (F.col("_pos") + 1).cast("int").alias("rank"),
         )
 
+    # Work-equalized ring radii (_next_ring_radius, see nearest_join): ring
+    # 1 expects ~k+4 neighbors per point; each later ring re-spends the
+    # same pair budget over the collapsed remainder, so lambda multiplies
+    # by n/npend per ring and survivor probability P(Poisson(lambda) < k)
+    # falls doubly-exponentially — 2-3 rings total, never the
+    # lambda(radius-cap) over-fetch a fixed geometric growth pays.
     parts: list[DataFrame] = []
     pending = left
-    npend = None
+    budget = None
     r = r1
-    # growth 5: one mid ring between the adaptive first radius and the cap
-    # in the common case. Same two levers as nearest_join: fewer rings =
-    # fewer serial driver jobs, and rings after the first build on the
-    # collapsed ``pending`` side (explode+broadcast it) instead of paying a
-    # full right-layer explode+shuffle per ring.
-    growth = 5.0
     while True:
         final = r >= radius
-        xkw = {}
-        if npend is not None and npend * 3.3 * 4.0 <= planner.BROADCAST_ROW_LIMIT:
-            xkw = {"build": "left", "strategy": "broadcast"}
         if final:
-            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius, **xkw))))
+            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius))))
             break
-        agg = _persist_scratch(_topk_agg(_pairs(pending, r, **xkw)))
+        agg = _persist_scratch(_topk_agg(_pairs(pending, r)))
         parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
         pending = _persist_scratch(
             pending.join(
@@ -796,10 +829,12 @@ def knn_join(
                 how="left_anti",
             )
         )
-        npend = pending.count()
+        npend = pending._scratch_rows
         if npend == 0:
             break
-        r *= growth
+        if budget is None:
+            budget = max((k + 4.0) * (agg._scratch_rows + npend), 1e6)
+        r = _next_ring_radius(r, radius, npend, rho, budget)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

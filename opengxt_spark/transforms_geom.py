@@ -665,3 +665,141 @@ def concave_hull_groups(
         .groupBy(group_col)
         .applyInPandas(per_group, schema=schema)
     )
+
+
+def thiessen_groups(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """ThiessenPolygonProcess per group: one row per site with its exact
+    Voronoi cell invariants (cell_area, n_verts) clipped to the group's
+    20%-expanded point bbox (GT/operations/ThiessenPolygonOperation.java:
+    88-103 — JTS VoronoiDiagramBuilder with clipEnvelope expanded by 0.2).
+
+    The vector kernel (geomlib.voronoi_metrics: iterated half-plane
+    clipping) is exact but O(n^2) per group — the per-feature-group path;
+    the globally scalable variant remains the raster-form
+    ``discrete_voronoi`` (SURVEY §7.4). Gate invariant: the cells tile the
+    expanded bbox, so sum(cell_area) per group == bbox area (verified in
+    pytest; rows-only driver gate — Voronoi topology is not
+    SQL-expressible)."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        areas, nverts, bbox = geomlib.voronoi_metrics(xs, ys)
+        return pd.DataFrame(
+            {group_col: pdf[group_col],
+             "pid": pdf["pid"],
+             "cell_area": np.round(areas, 6),
+             "n_verts": nverts,
+             "bbox_area": round((bbox[2] - bbox[0]) * (bbox[3] - bbox[1]), 6)}
+        )
+
+    schema = (
+        f"{group_col} string, pid long, cell_area double, n_verts long, "
+        "bbox_area double"
+    )
+    return (
+        planner.ensure_parallelism(points.select(group_col, "pid", "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )
+
+
+def repair_rings(rects: DataFrame) -> DataFrame:
+    """RepairGeometryProcess (GT/RepairGeometryProcess.java:41: validate +
+    fix via GeoTools FeatureFactory): close rings, drop consecutive
+    duplicate vertices, normalize to CCW, reject degenerate rings.
+
+    The query side synthesizes a deterministic DIRTY ring per rect as an
+    array<struct<x,y>> column — the repo's generic-polygon vertex
+    representation: corner order reversed (CW) for odd rids, corner 2
+    duplicated, the closing vertex repeated, and every 13th ring collapsed
+    to a degenerate point. The Arrow-batched kernel (geomlib.repair_ring)
+    repairs each ring; output (rid, n_verts, area, valid, fx, fy) has a
+    closed-form DuckDB oracle because the dirty transform is known."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import geomlib
+
+    # dirty ring: CCW corners v0..v3 for even rid, reversed for odd; v2
+    # duplicated; explicit closure (first vertex appended); rid % 13 == 0
+    # collapses all vertices to the center.
+    ring = rects.selectExpr(
+        "rid",
+        "CASE WHEN rid % 13 = 0 THEN "
+        " array(struct(cx AS x, cy AS y), struct(cx AS x, cy AS y),"
+        "       struct(cx AS x, cy AS y)) "
+        "WHEN rid % 2 = 0 THEN "
+        " array(struct(cx - hw AS x, cy - hh AS y),"
+        "       struct(cx + hw AS x, cy - hh AS y),"
+        "       struct(cx + hw AS x, cy + hh AS y),"
+        "       struct(cx + hw AS x, cy + hh AS y),"
+        "       struct(cx - hw AS x, cy + hh AS y),"
+        "       struct(cx - hw AS x, cy - hh AS y)) "
+        "ELSE "
+        " array(struct(cx - hw AS x, cy - hh AS y),"
+        "       struct(cx - hw AS x, cy + hh AS y),"
+        "       struct(cx + hw AS x, cy + hh AS y),"
+        "       struct(cx + hw AS x, cy + hh AS y),"
+        "       struct(cx + hw AS x, cy - hh AS y),"
+        "       struct(cx - hw AS x, cy - hh AS y)) "
+        "END AS ring",
+    )
+
+    out_schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("n_verts", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("fx", T.DoubleType()),
+        T.StructField("fy", T.DoubleType()),
+    ])
+
+    def repair(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, verts in zip(pdf["rid"], pdf["ring"]):
+                xs = np.asarray([v["x"] for v in verts], dtype=np.float64)
+                ys = np.asarray([v["y"] for v in verts], dtype=np.float64)
+                rx, ry, ok = geomlib.repair_ring(xs, ys)
+                area = geomlib.shoelace(np.column_stack([rx, ry])) if ok else 0.0
+                rows.append(
+                    (rid, len(rx), round(float(area), 6), bool(ok),
+                     float(rx[0]) if ok else None,
+                     float(ry[0]) if ok else None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["rid", "n_verts", "area", "valid", "fx", "fy"]
+            )
+
+    return planner.ensure_parallelism(ring).mapInPandas(repair, schema=out_schema)
+
+
+def repair_rings_oracle(layer: str = "rects_customer") -> str:
+    """Closed-form oracle: the dirty transform is deterministic, so the
+    repaired invariants are direct expressions of (cx, cy, hw, hh)."""
+    from .overlay_diff import mm_sql
+
+    return world.with_layers(
+        f"""
+SELECT rid,
+       CAST(CASE WHEN rid % 13 = 0 THEN 1 ELSE 4 END AS BIGINT) AS n_verts,
+       rid % 13 <> 0 AS valid,
+       CASE WHEN rid % 13 = 0 THEN 0
+            ELSE 4 * {mm_sql('hw')} * {mm_sql('hh')} END AS area_um2,
+       CASE WHEN rid % 13 = 0 THEN NULL
+            WHEN rid % 2 = 0 THEN {mm_sql('cx - hw')}
+            ELSE {mm_sql('cx + hw')} END AS fx_mm,
+       CASE WHEN rid % 13 = 0 THEN NULL
+            ELSE {mm_sql('cy - hh')} END AS fy_mm
+FROM {layer}
+""",
+        layer,
+    )

@@ -135,3 +135,110 @@ def test_buffer_variants_algebra(spark, sf_dir):
     for r in mic[:200]:
         assert abs(r["mic_r"] - min(rects[r["rid"]]["hw"],
                                     rects[r["rid"]]["hh"])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Voronoi (Thiessen) kernel invariants
+# ---------------------------------------------------------------------------
+
+vor_coords = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100_000),
+        st.integers(min_value=0, max_value=100_000),
+    ),
+    min_size=2,
+    max_size=20,
+    unique=True,
+).map(lambda ps: [(x / 1000.0, y / 1000.0) for x, y in ps])
+
+
+@settings(max_examples=40, deadline=None)
+@given(vor_coords)
+def test_voronoi_tiles_bbox(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    areas, nverts, bbox = geomlib.voronoi_metrics(xs, ys)
+    bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+    # Voronoi cells clipped to the bbox tile it exactly
+    assert areas.sum() == pytest.approx(bbox_area, rel=1e-9, abs=1e-9)
+    # every cell is convex with >= 3 vertices (or empty when the bbox is
+    # degenerate, e.g. collinear input along an axis)
+    if bbox_area > 1e-12:
+        assert (nverts >= 3).all()
+        assert (areas > 0).all()
+
+
+def test_voronoi_cell_contains_site():
+    rng = np.random.RandomState(7)
+    xs = np.round(rng.uniform(0, 100, 40), 3)
+    ys = np.round(rng.uniform(0, 100, 40), 3)
+    areas, nverts, bbox = geomlib.voronoi_metrics(xs, ys)
+    for i in range(len(xs)):
+        cell = geomlib.voronoi_cell(i, xs, ys, bbox)
+        # the site lies inside its own (convex) cell: every edge half-plane
+        # test is satisfied
+        n = len(cell)
+        assert n >= 3
+        for j in range(n):
+            ax, ay = cell[j]
+            bx, by = cell[(j + 1) % n]
+            cross = (bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax)
+            # CCW or CW consistent orientation: allow either sign but
+            # consistent across edges
+        a = geomlib.shoelace(cell)
+        assert abs(a) == pytest.approx(areas[i], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# repair_ring invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_repair_ring_properties(pts, reverse, close):
+    xs = np.array([p[0] / 10.0 for p in pts])
+    ys = np.array([p[1] / 10.0 for p in pts])
+    if reverse:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    # inject a consecutive duplicate + optional explicit closure
+    xs = np.insert(xs, 1, xs[1])
+    ys = np.insert(ys, 1, ys[1])
+    if close:
+        xs = np.append(xs, xs[0])
+        ys = np.append(ys, ys[0])
+    rx, ry, ok = geomlib.repair_ring(xs, ys)
+    # no consecutive duplicates, no explicit closure
+    for i in range(1, len(rx)):
+        assert not (rx[i] == rx[i - 1] and ry[i] == ry[i - 1])
+    if len(rx) >= 2:
+        assert not (rx[0] == rx[-1] and ry[0] == ry[-1])
+    if ok:
+        assert len(rx) >= 3
+        # CCW normalized
+        assert geomlib.shoelace(np.column_stack([rx, ry])) > 0
+    else:
+        # degenerate: fewer than 3 distinct vertices or zero area
+        assert len(rx) < 3 or geomlib.shoelace(
+            np.column_stack([rx, ry])
+        ) == 0.0
+
+
+def test_repair_ring_degenerate_point():
+    xs = np.array([5.0, 5.0, 5.0])
+    ys = np.array([2.0, 2.0, 2.0])
+    rx, ry, ok = geomlib.repair_ring(xs, ys)
+    assert not ok
+    assert len(rx) == 1
