@@ -2499,6 +2499,248 @@ def q_repair_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("polygonize_rects", transforms_geom.polygonize_oracle())
+def q_polygonize_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureToPolygonProcess: assemble rings from an anonymous segment
+    soup — min-label propagation over shared endpoints (2 keyed-agg rounds)
+    then per-component Arrow ring assembly; closed-form oracle because the
+    input is the per-rid-inset rect boundaries."""
+    segs = transforms_geom.inset_boundary_segments(
+        world.rects_customer(spark, sf_dir)
+    )
+    out = transforms_geom.polygonize(segs)
+    return out.where("closed").selectExpr(
+        "comp", "n_segs", "n_verts",
+        "CAST(FLOOR(area * 1000000.0 + 0.5) AS BIGINT) AS area_um2",
+        "closed",
+    )
+
+
+@_register("simplify_dp")
+def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimplifyProcess (Douglas-Peucker, GT/transformation/
+    SimplifyFeatureCollection.java): per-category polyline (events ordered
+    by pid) simplified at tolerance 15; rows-only gate — DP kept-vertex
+    selection is not SQL-expressible; kernel optimality is
+    Hypothesis-tested in tests/test_geomlib.py."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from opengxt_spark import geomlib, planner
+
+    pts = planner.ensure_parallelism(
+        world.points_events(spark, sf_dir)
+        .withColumn("cat", F.expr("CAST(pid % 8 AS STRING)"))
+        .select("cat", "pid", "x", "y")
+    )
+
+    schema = T.StructType([
+        T.StructField("cat", T.StringType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+    ])
+
+    def per_cat(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("pid")
+        kx, ky = geomlib.douglas_peucker(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy(), 15.0
+        )
+        return pd.DataFrame(
+            {"cat": [pdf["cat"].iloc[0]], "n_in": [len(pdf)],
+             "n_kept": [len(kx)]}
+        )
+
+    return pts.groupBy("cat").applyInPandas(per_cat, schema=schema)
+
+
+@_register("median_center")
+def q_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MedianCenterProcess (Weiszfeld, GT/distribution/MedianCenter.java:36):
+    20 driver-looped 1-row aggregates over the cached layer; rows-only gate
+    (double reduction order differs across engines) — convergence invariant
+    in tests/test_autocorr.py."""
+    mx, my = distribution.median_center(world.points_events(spark, sf_dir))
+    return spark.createDataFrame(
+        [(round(mx, 4), round(my, 4))], "mx double, my double"
+    )
+
+
+_RPF_H = ("((rid * 131071 + i * 7919 + 13) * 48271 "
+          "+ ((rid + i) * (rid + i)) % 999983 * 104729) % 1000000000")
+_RPF_HY = ("((rid * 524287 + i * 104729 + 7) * 69621 "
+           "+ ((rid + 2 * i) * (rid + 2 * i)) % 999979 * 7129) % 1000000000")
+
+
+def _rpf_body(seq_sql: str) -> str:
+    """Shared SQL body for RandomPointsPerFeatures (n = 1 + rid % 5 seeded
+    points inside each rect, exact integer-mm arithmetic)."""
+    from .overlay_diff import mm_sql
+
+    x0, y0 = mm_sql("cx - hw"), mm_sql("cy - hh")
+    w, h = f"2 * {mm_sql('hw')}", f"2 * {mm_sql('hh')}"
+    return f"""
+SELECT rid, CAST(i AS BIGINT) AS i,
+       ROUND(CAST({x0} + {_RPF_H} % ({w} + 1) AS DOUBLE) / 1000.0, 6) AS rx,
+       ROUND(CAST({y0} + {_RPF_HY} % ({h} + 1) AS DOUBLE) / 1000.0, 6) AS ry
+FROM (SELECT rid, cx, cy, hw, hh FROM rects_customer){seq_sql}
+"""
+
+
+@_register(
+    "random_points_per_feature",
+    world.with_layers(
+        _rpf_body(", LATERAL UNNEST(generate_series(0, rid % 5)) AS u(i)"),
+        "rects_customer",
+    ),
+)
+def q_random_points_per_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomPointsPerFeaturesProcess (GT/operations/RandomPointsOperation
+    .java:103 per-feature branch): seeded deterministic points inside each
+    polygon, count driven by an attribute (1 + rid % 5)."""
+    world.register_layers(spark, sf_dir)
+    return spark.sql(
+        _rpf_body(
+            " JOIN (SELECT explode(sequence(0, 4)) AS i) "
+            "ON i <= rid % 5"
+        )
+    )
+
+
+@_register("raster_surface_area", raster.raster_surface_area_oracle())
+def q_raster_surface_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterSurfaceAreaProcess: slope-corrected 3D area per 25x25 block,
+    exact integer milli-unit sums (Horn gradients, trig-free)."""
+    return raster.raster_surface_area(spark)
+
+
+_LOS_OBS_SQL = "SELECT pid AS oid, x, y FROM points_part WHERE pid % 500 = 0"
+
+
+@_register(
+    "radial_los",
+    world.with_layers(raster.radial_los_oracle(_LOS_OBS_SQL), "points_part"),
+)
+def q_radial_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterRadialLOSProcess: 8 rays per observer, running-max tangent
+    visibility recurrence (window, no trig)."""
+    world.register_layers(spark, sf_dir)
+    obs = spark.sql(_LOS_OBS_SQL)
+    return raster.radial_los(spark, obs)
+
+
+@_register("tin_interpolation")
+def q_tin_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TINInterpolationProcess per category: Delaunay TIN of control points
+    (pid % 7 = 0, v = integer value), linear barycentric interpolation at
+    the remaining points (rows-only; linear-field exactness in pytest)."""
+    pts = world.points_part(spark, sf_dir).selectExpr(
+        "CAST(pid % 4 AS STRING) AS cat", "pid", "x", "y",
+        "CASE WHEN pid % 7 = 0 THEN 1 ELSE 0 END AS is_ctl",
+        "CAST(CAST(FLOOR(val) AS BIGINT) % 1000 AS DOUBLE) AS v",
+    )
+    return transforms_geom.tin_interpolation_groups(pts)
+
+
+_RING_RADII = (10.0, 20.0, 30.0)
+
+
+def _ring_map_oracle() -> str:
+    dlit = world.dlit
+    r3 = dlit(_RING_RADII[2] ** 2)
+    r1, r2 = dlit(_RING_RADII[0] ** 2), dlit(_RING_RADII[1] ** 2)
+    return world.with_layers(
+        f"""
+SELECT rid, ring, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(w) AS BIGINT) AS sum_w
+FROM (
+  SELECT rid, w,
+         CASE WHEN d2 <= {r1} THEN 1 WHEN d2 <= {r2} THEN 2 ELSE 3 END AS ring
+  FROM (
+    SELECT r.rid, e.w,
+           (r.cx - e.x) * (r.cx - e.x) + (r.cy - e.y) * (r.cy - e.y) AS d2
+    FROM (SELECT rid, cx, cy FROM rects_customer) r
+    JOIN (SELECT pid, x, y, w FROM points_events) e
+      ON (r.cx - e.x) * (r.cx - e.x) + (r.cy - e.y) * (r.cy - e.y) <= {r3}
+  )
+)
+GROUP BY rid, ring
+""",
+        "rects_customer", "points_events",
+    )
+
+
+@_register("ring_map", _ring_map_oracle())
+def q_ring_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RingMapProcess (GT/RingMapProcess.java: concentric ring charts per
+    feature): per rect centroid, event count + weight sum in 3 annuli
+    (10/20/30) — one cell-banded join at the outer radius, CASE ring
+    assignment, partial-agg group."""
+    rects = world.rects_customer(spark, sf_dir).selectExpr(
+        "rid", "cx", "cy"
+    )
+    ev = world.points_events(spark, sf_dir)
+    pairs = joins.distance_band_join(
+        rects, ev, radius=_RING_RADII[2],
+        left_cols=("rid", "cx", "cy"),
+        right_extra={"w": "w"},
+    )
+    dlit = world.dlit
+    r1, r2 = dlit(_RING_RADII[0] ** 2), dlit(_RING_RADII[1] ** 2)
+    return (
+        pairs.selectExpr(
+            "pid_l AS rid", "w",
+            f"CASE WHEN d2 <= {r1} THEN 1 WHEN d2 <= {r2} THEN 2 "
+            "ELSE 3 END AS ring",
+        )
+        .groupBy("rid", "ring")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("w").cast("long").alias("sum_w"),
+        )
+    )
+
+
+_HUB_N = 64
+
+
+def _hub_lines_by_id_oracle() -> str:
+    return world.with_layers(
+        f"""
+SELECT e.pid AS pid_l, h.pid AS pid_r,
+       ROUND(e.x, 6) AS x1, ROUND(e.y, 6) AS y1,
+       ROUND(h.x, 6) AS x2, ROUND(h.y, 6) AS y2,
+       ROUND(SQRT((e.x - h.x) * (e.x - h.x) + (e.y - h.y) * (e.y - h.y)), 6)
+         AS hub_dist
+FROM points_events e
+JOIN points_part h ON h.pid = e.pid % {_HUB_N}
+""",
+        "points_events", "points_part",
+    )
+
+
+@_register("hub_lines_by_id", _hub_lines_by_id_oracle())
+def q_hub_lines_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HubLinesByIDProcess (GT/transformation/HubLinesByIDOperation.java):
+    spoke -> hub segment by shared id attribute (hub id = pid % 64), a
+    plain broadcast equi-join + segment construction."""
+    ev = world.points_events(spark, sf_dir).selectExpr(
+        "pid AS pid_l", "x AS ex", "y AS ey", f"pid % {_HUB_N} AS hub"
+    )
+    hubs = world.points_part(spark, sf_dir).where(
+        f"pid < {_HUB_N}"
+    ).selectExpr("pid AS pid_r", "x AS hx", "y AS hy")
+    return (
+        ev.join(F.broadcast(hubs), ev.hub == hubs.pid_r)
+        .selectExpr(
+            "pid_l", "pid_r",
+            "ROUND(ex, 6) AS x1", "ROUND(ey, 6) AS y1",
+            "ROUND(hx, 6) AS x2", "ROUND(hy, 6) AS y2",
+            "ROUND(SQRT((ex - hx) * (ex - hx) + (ey - hy) * (ey - hy)), 6)"
+            " AS hub_dist",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which

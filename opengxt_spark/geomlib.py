@@ -519,3 +519,107 @@ def repair_ring(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray,
     if area < 0:
         xs, ys = xs[::-1].copy(), ys[::-1].copy()
     return xs, ys, True
+
+
+# ---------------------------------------------------------------------------
+# Ring assembly — FeatureToPolygonProcess (GT/operations/
+# FeatureToPolygonOperation.java:48, JTS Polygonizer): order a component's
+# segments into a closed ring by endpoint walking. The component grouping
+# (connected segments) is done distributed (label propagation over shared
+# endpoints, transforms_geom.polygonize); this kernel only sees ONE
+# component's segments — O(m log m) via an endpoint index.
+# ---------------------------------------------------------------------------
+
+
+def assemble_ring(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray
+) -> tuple[int, float, bool]:
+    """Walk segments into a ring. Returns (n_verts, abs_area, closed).
+
+    Endpoints are matched exactly (callers pass mm-quantized coords).
+    ``closed`` is False when the walk cannot return to the start using
+    every segment exactly once (dangling or branching input)."""
+    m = len(x1)
+    if m < 3:
+        return m, 0.0, False
+    index: dict[tuple[float, float], list[int]] = {}
+    for i in range(m):
+        index.setdefault((x1[i], y1[i]), []).append(i)
+        index.setdefault((x2[i], y2[i]), []).append(i)
+    used = np.zeros(m, dtype=bool)
+    start = (x1[0], y1[0])
+    cur = start
+    used[0] = True
+    verts = [start]
+    nxt = (x2[0], y2[0])
+    n_used = 1
+    while nxt != start:
+        verts.append(nxt)
+        cands = [j for j in index.get(nxt, []) if not used[j]]
+        if not cands:
+            return len(verts), 0.0, False
+        j = cands[0]
+        used[j] = True
+        n_used += 1
+        if (x1[j], y1[j]) == nxt:
+            nxt = (x2[j], y2[j])
+        else:
+            nxt = (x1[j], y1[j])
+    if n_used != m:
+        return len(verts), 0.0, False
+    poly = np.asarray(verts)
+    return len(verts), abs(shoelace(poly)), True
+
+
+# ---------------------------------------------------------------------------
+# TIN interpolation — TINInterpolationProcess (GT/gridcoverage/
+# RasterInterpolationTINOperation / TINInterpolationProcess: linear
+# barycentric interpolation over the Delaunay triangulation of control
+# points). Point location is a vectorized all-triangle barycentric test —
+# O(q * t) per group, fine for the per-group applyInPandas path; queries
+# outside the hull return NaN (the reference leaves them NODATA).
+# ---------------------------------------------------------------------------
+
+
+def tin_interpolate(
+    cx: np.ndarray, cy: np.ndarray, cv: np.ndarray,
+    qx: np.ndarray, qy: np.ndarray,
+) -> np.ndarray:
+    """Linear TIN interpolation of control values cv at query points."""
+    tris, pts = delaunay(cx, cy)
+    # remap control values onto the sorted-unique point set delaunay used
+    order = {}
+    for i in range(len(pts)):
+        order[(pts[i, 0], pts[i, 1])] = i
+    vals = np.full(len(pts), np.nan)
+    for j in range(len(cx)):
+        k = order.get((cx[j], cy[j]))
+        if k is not None:
+            vals[k] = cv[j]
+    out = np.full(len(qx), np.nan)
+    if len(tris) == 0:
+        return out
+    ax, ay = pts[tris[:, 0], 0], pts[tris[:, 0], 1]
+    bx, by = pts[tris[:, 1], 0], pts[tris[:, 1], 1]
+    gx, gy = pts[tris[:, 2], 0], pts[tris[:, 2], 1]
+    det = (by - gy) * (ax - gx) + (gx - bx) * (ay - gy)
+    ok = det != 0
+    for i in range(len(qx)):
+        l1 = ((by - gy) * (qx[i] - gx) + (gx - bx) * (qy[i] - gy)) / np.where(
+            ok, det, 1.0
+        )
+        l2 = ((gy - ay) * (qx[i] - gx) + (ax - gx) * (qy[i] - gy)) / np.where(
+            ok, det, 1.0
+        )
+        l3 = 1.0 - l1 - l2
+        eps = -1e-9
+        inside = ok & (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        idx = np.where(inside)[0]
+        if len(idx):
+            t = idx[0]
+            out[i] = (
+                l1[t] * vals[tris[t, 0]]
+                + l2[t] * vals[tris[t, 1]]
+                + l3[t] * vals[tris[t, 2]]
+            )
+    return out

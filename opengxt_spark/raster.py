@@ -1772,3 +1772,200 @@ SELECT c.zone, c.n_cells,
        c.min_ix, c.max_ix, c.min_iy, c.max_iy
 FROM c JOIN e ON e.zone = c.zone
 """
+
+
+# ---------------------------------------------------------------------------
+# RasterSurfaceAreaProcess — slope-corrected 3D surface area
+# (GT/gridcoverage/RasterSurfaceAreaOperation.java: per-cell 3D area =
+# planar cellArea / cos(slope)). With Horn gradients gx, gy the correction
+# is cellArea * sqrt(1 + gx^2 + gy^2) — trig-free closed form. Per-pixel
+# areas are quantized to integer milli-units BEFORE summation so the
+# cross-engine totals are order-free exact integers (the repo's
+# dist_sum_u convention).
+# ---------------------------------------------------------------------------
+
+_SA_EXPR = (
+    "CAST(FLOOR({ca} * SQRT(1.0 + gx * gx + gy * gy) * 1000.0) AS BIGINT)"
+)
+
+
+def raster_surface_area(spark: SparkSession) -> DataFrame:
+    """Per 25x25 block: (bx, by, n, planar_area, surf_area_mu) with
+    surf_area_mu an exact integer milli-unit sum."""
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    ca = dlit(ZPIX_CELL * ZPIX_CELL)
+    g = _horn_gradients(spark).where(F.col("n9") == 9)
+    g = g.withColumn("gx", F.expr(f"gx_u / {cs8}")).withColumn(
+        "gy", F.expr(f"gy_u / {cs8}")
+    )
+    g = g.withColumn("sa_mu", F.expr(_SA_EXPR.format(ca=ca)))
+    return (
+        g.groupBy(
+            F.expr("CAST(FLOOR(tx / 25) AS BIGINT)").alias("bx"),
+            F.expr("CAST(FLOOR(ty / 25) AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"ROUND(COUNT(1) * {ca}, 6)").alias("planar_area"),
+            F.sum("sa_mu").cast("long").alias("surf_area_mu"),
+        )
+    )
+
+
+def raster_surface_area_oracle() -> str:
+    cs8 = dlit(8.0 * ZPIX_CELL)
+    ca = dlit(ZPIX_CELL * ZPIX_CELL)
+    sa = _SA_EXPR.format(ca=ca)
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+sent AS (
+  SELECT p.ix + d.dx AS tx, p.iy + d.dy AS ty, d.dx, d.dy, p.v
+  FROM pix p, (SELECT a.a AS dx, b.b AS dy
+               FROM (SELECT UNNEST([-1, 0, 1]) AS a) a,
+                    (SELECT UNNEST([-1, 0, 1]) AS b) b) d
+),
+grad AS (
+  SELECT tx, ty, COUNT(*) AS n9,
+         SUM(CASE WHEN dx = -1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dx = 1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS gx_u,
+         SUM(CASE WHEN dy = -1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dy = 1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS gy_u
+  FROM sent GROUP BY tx, ty
+),
+g AS (
+  SELECT tx, ty, gx_u / {cs8} AS gx, gy_u / {cs8} AS gy
+  FROM grad WHERE n9 = 9
+)
+SELECT CAST(FLOOR(tx / 25) AS BIGINT) AS bx,
+       CAST(FLOOR(ty / 25) AS BIGINT) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * {ca}, 6) AS planar_area,
+       CAST(SUM({sa}) AS BIGINT) AS surf_area_mu
+FROM g GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# RasterRadialLOSProcess — radial line-of-sight
+# (GT/gridcoverage/RasterRadialLOSOperation.java:55: rays from an observer,
+# a sample is visible iff its elevation angle exceeds every previous
+# sample's). Distributed form: explode (observer x ray x station), join
+# station pixels, then a running-max window per (observer, ray) ordered by
+# station index — tangent comparison avoids atan entirely. 8 integer ray
+# directions (N, NE, ..., diagonal steps are sqrt(2) longer — documented
+# narrowing vs the reference's equal-angle rays; the visibility recurrence
+# is identical).
+# ---------------------------------------------------------------------------
+
+_LOS_STATIONS = 40
+_LOS_OBS_H = 10.0  # observer height above terrain (reference default-ish)
+
+
+def radial_los(spark: SparkSession, observers: DataFrame) -> DataFrame:
+    """Per (oid, ray): n_stations, n_visible, last visible station index.
+
+    ``observers``: (oid, x, y) points. Stations step one pixel per index
+    along each of 8 integer directions.
+    """
+    from pyspark.sql import Window
+
+    cell = dlit(ZPIX_CELL)
+    obs = planner.ensure_parallelism(observers).selectExpr(
+        "oid",
+        f"CAST(FLOOR(x / {cell}) AS BIGINT) AS ox",
+        f"CAST(FLOOR(y / {cell}) AS BIGINT) AS oy",
+    )
+    rays = spark.range(8).selectExpr(
+        "id AS ray",
+        "CAST(CASE WHEN id IN (1, 2, 3) THEN 1 "
+        "WHEN id IN (5, 6, 7) THEN -1 ELSE 0 END AS BIGINT) AS dx",
+        "CAST(CASE WHEN id IN (7, 0, 1) THEN 1 "
+        "WHEN id IN (3, 4, 5) THEN -1 ELSE 0 END AS BIGINT) AS dy",
+    )
+    st = (
+        obs.crossJoin(F.broadcast(rays))
+        .withColumn(
+            "s", F.expr(f"explode(sequence(1, {_LOS_STATIONS}))")
+        )
+        .selectExpr("oid", "ray", "s", "ox", "oy",
+                    "ox + s * dx AS ix", "oy + s * dy AS iy")
+    )
+    pixels = spark.sql(ZONAL_PIXELS_SQL_SPARK).select("ix", "iy", "v")
+    opix = pixels.selectExpr("ix AS ox", "iy AS oy", "v AS ov")
+    st = st.join(pixels, ["ix", "iy"]).join(opix, ["ox", "oy"])
+    # tangent of the elevation angle; integer elevations, exact rational
+    tan = f"(CAST(v AS DOUBLE) - (CAST(ov AS DOUBLE) + {dlit(_LOS_OBS_H)})) / CAST(s AS DOUBLE)"
+    st = st.withColumn("tan", F.expr(tan))
+    w = (
+        Window.partitionBy("oid", "ray")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vis = st.withColumn(
+        "visible",
+        F.when(F.max("tan").over(w).isNull(), F.lit(True)).otherwise(
+            F.col("tan") > F.max("tan").over(w)
+        ),
+    )
+    return vis.groupBy("oid", "ray").agg(
+        F.count(F.lit(1)).alias("n_stations"),
+        F.sum(F.expr("CASE WHEN visible THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_visible"),
+        F.max(F.expr("CASE WHEN visible THEN s ELSE 0 END"))
+        .cast("long").alias("last_visible"),
+    )
+
+
+def radial_los_oracle(obs_sql: str) -> str:
+    """``obs_sql``: subquery producing (oid, x, y)."""
+    cell = dlit(ZPIX_CELL)
+    tan = (f"(CAST(v AS DOUBLE) - (CAST(ov AS DOUBLE) + {dlit(_LOS_OBS_H)}))"
+           " / CAST(s AS DOUBLE)")
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+obs AS (
+  SELECT oid, CAST(FLOOR(x / {cell}) AS BIGINT) AS ox,
+         CAST(FLOOR(y / {cell}) AS BIGINT) AS oy
+  FROM ({obs_sql})
+),
+rays AS (
+  SELECT id AS ray,
+         CAST(CASE WHEN id IN (1, 2, 3) THEN 1
+              WHEN id IN (5, 6, 7) THEN -1 ELSE 0 END AS BIGINT) AS dx,
+         CAST(CASE WHEN id IN (7, 0, 1) THEN 1
+              WHEN id IN (3, 4, 5) THEN -1 ELSE 0 END AS BIGINT) AS dy
+  FROM (SELECT UNNEST(generate_series(0, 7)) AS id)
+),
+st AS (
+  SELECT o.oid, r.ray, u.s, o.ox, o.oy,
+         o.ox + u.s * r.dx AS ix, o.oy + u.s * r.dy AS iy
+  FROM obs o CROSS JOIN rays r,
+       LATERAL UNNEST(generate_series(1, {_LOS_STATIONS})) AS u(s)
+),
+joined AS (
+  SELECT st.oid, st.ray, st.s, p.v, po.v AS ov
+  FROM st
+  JOIN pix p ON p.ix = st.ix AND p.iy = st.iy
+  JOIN pix po ON po.ix = st.ox AND po.iy = st.oy
+),
+tans AS (
+  SELECT oid, ray, s, {tan} AS tan FROM joined
+),
+vis AS (
+  SELECT oid, ray, s, tan,
+         CASE WHEN MAX(tan) OVER (PARTITION BY oid, ray ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN TRUE
+              ELSE tan > MAX(tan) OVER (PARTITION BY oid, ray ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         END AS visible
+  FROM tans
+)
+SELECT oid, ray, CAST(COUNT(*) AS BIGINT) AS n_stations,
+       CAST(SUM(CASE WHEN visible THEN 1 ELSE 0 END) AS BIGINT) AS n_visible,
+       CAST(MAX(CASE WHEN visible THEN s ELSE 0 END) AS BIGINT)
+         AS last_visible
+FROM vis GROUP BY oid, ray
+"""

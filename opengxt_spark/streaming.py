@@ -76,3 +76,68 @@ def run_available_now(stream_df: DataFrame, query_name: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    key_col: str = "fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per fingerprint
+    across all micro-batches — the incremental form of the batch
+    ``dedup_exact`` operator for an append-only 10^12-row feed.
+
+    Custom stateful operator via ``applyInPandasWithState`` (the engine's
+    one non-windowed stateful surface): state per fingerprint bucket is
+    the set of keys already emitted; a micro-batch emits a row iff its key
+    is unseen, then folds the key into state. Bucketing by
+    ``pmod(hash(fp), 1024)`` keeps per-group state small and the shuffle
+    key stable; state never expires (exact dedup has no event-time bound —
+    at 100 TB the state store IS the fingerprint index, RocksDB-backed on
+    a real cluster).
+
+    Replay equality: a complete replay emits exactly one row per distinct
+    key — the row with the smallest ``ts`` (ties: smallest id) seen in
+    arrival order per micro-batch; with a single input file per key order
+    is deterministic (pytest checks replay == batch first-seen).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    bucketed = src.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(1024))
+    )
+
+    out_schema = (
+        f"{id_col} long, {key_col} string, ts timestamp"
+    )
+    state_schema = "seen array<string>"
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", id_col])
+            fresh = ~pdf[key_col].isin(seen)
+            kept = pdf[fresh].drop_duplicates(subset=[key_col], keep="first")
+            if len(kept):
+                outs.append(kept[[id_col, key_col, "ts"]])
+                seen.update(kept[key_col])
+        state.update((list(seen),))
+        if outs:
+            yield pd.concat(outs)
+
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

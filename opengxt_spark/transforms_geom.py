@@ -803,3 +803,202 @@ FROM {layer}
 """,
         layer,
     )
+
+
+# ---------------------------------------------------------------------------
+# FeatureToPolygonProcess — polygonize a bare segment soup
+# (GT/operations/FeatureToPolygonOperation.java:48, JTS Polygonizer)
+# ---------------------------------------------------------------------------
+
+
+def polygonize(segs: DataFrame, iterations: int = 2) -> DataFrame:
+    """Assemble closed polygons from an UNLABELLED segment table
+    (sid, x1, y1, x2, y2) — endpoints matched exactly on mm-quantized
+    coordinates.
+
+    Distributed plan: connected components by min-label propagation over
+    shared endpoints (each round: per-node min of incident segment labels,
+    then per-segment min of its nodes' labels — a pair of keyed aggregations
+    per round, no driver participation), then per-component ring assembly
+    in an Arrow batch (geomlib.assemble_ring). ``iterations`` bounds the
+    propagated graph distance: i rounds cover rings of diameter <= 2**i is
+    NOT available from plain neighbour passes — each round moves labels one
+    edge, so rings need ceil(diameter/1) rounds; quadrilateral rings
+    (diameter 2) close in the default 2. The reference's JTS Polygonizer
+    is single-node global; bounding the component diameter is the 100 TB
+    contract (unbounded components need iterate-to-fixpoint, which the
+    ``iterations`` knob expresses explicitly).
+
+    Output: (comp, n_segs, n_verts, area, closed).
+    """
+    from pyspark.sql import types as T
+
+    from . import geomlib
+
+    mmx = "CAST(FLOOR(x{e} * 1000.0 + 0.5) AS BIGINT)"
+    mmy = "CAST(FLOOR(y{e} * 1000.0 + 0.5) AS BIGINT)"
+    ends = (
+        segs.selectExpr("sid", mmx.format(e="1") + " AS kx",
+                        mmy.format(e="1") + " AS ky")
+        .unionByName(
+            segs.selectExpr("sid", mmx.format(e="2") + " AS kx",
+                            mmy.format(e="2") + " AS ky")
+        )
+    )
+    lab = segs.selectExpr("sid", "sid AS lab")
+    for _ in range(iterations):
+        le = ends.join(lab, "sid")
+        nb = le.groupBy("kx", "ky").agg(F.min("lab").alias("nlab"))
+        lab = (
+            le.join(nb, ["kx", "ky"])
+            .groupBy("sid")
+            .agg(F.min(F.least(F.col("lab"), F.col("nlab"))).alias("lab"))
+        )
+
+    ring = segs.join(lab, "sid").selectExpr(
+        "lab AS comp",
+        "CAST(" + mmx.format(e="1") + " AS DOUBLE) / 1000.0 AS x1",
+        "CAST(" + mmy.format(e="1") + " AS DOUBLE) / 1000.0 AS y1",
+        "CAST(" + mmx.format(e="2") + " AS DOUBLE) / 1000.0 AS x2",
+        "CAST(" + mmy.format(e="2") + " AS DOUBLE) / 1000.0 AS y2",
+    )
+
+    out_schema = T.StructType([
+        T.StructField("comp", T.LongType()),
+        T.StructField("n_segs", T.LongType()),
+        T.StructField("n_verts", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ])
+
+    def per_comp(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for comp, grp in pdf.groupby("comp"):
+            nv, area, ok = geomlib.assemble_ring(
+                grp["x1"].to_numpy(), grp["y1"].to_numpy(),
+                grp["x2"].to_numpy(), grp["y2"].to_numpy(),
+            )
+            rows.append((comp, len(grp), nv, round(float(area), 6), ok))
+        return pd.DataFrame(
+            rows, columns=["comp", "n_segs", "n_verts", "area", "closed"]
+        )
+
+    return ring.groupBy("comp").applyInPandas(per_comp, schema=out_schema)
+
+
+#: Per-rid inset (integer mm): distinct insets per rect make coincident
+#: corners between different rects (which would merge components and are
+#: out of the single-ring assembly contract) astronomically unlikely in
+#: the synthetic world, while keeping every coordinate an exact integer
+#: millimeter. Clamped so the inset rect stays non-degenerate.
+_INSET_MM = (
+    "GREATEST(LEAST(rid % 89 + 1, "
+    "LEAST({hw_mm}, {hh_mm}) - 1), 0)"
+)
+
+
+def _inset_sql(layer_cols: bool = True) -> dict[str, str]:
+    from .overlay_diff import mm_sql
+
+    hw_mm, hh_mm = mm_sql("hw"), mm_sql("hh")
+    i_mm = _INSET_MM.format(hw_mm=hw_mm, hh_mm=hh_mm)
+    return {
+        "i_mm": i_mm,
+        "x0": f"CAST({mm_sql('cx - hw')} + {i_mm} AS DOUBLE) / 1000.0",
+        "xz": f"CAST({mm_sql('cx + hw')} - {i_mm} AS DOUBLE) / 1000.0",
+        "y0": f"CAST({mm_sql('cy - hh')} + {i_mm} AS DOUBLE) / 1000.0",
+        "yz": f"CAST({mm_sql('cy + hh')} - {i_mm} AS DOUBLE) / 1000.0",
+    }
+
+
+def inset_boundary_segments(rects: DataFrame) -> DataFrame:
+    """Anonymous segment soup: per-rid-inset rect boundaries with
+    sid = rid * 4 + side and the rid column DROPPED — polygonize must
+    recover the rings from geometry alone."""
+    s = _inset_sql()
+    df = planner.ensure_parallelism(rects).selectExpr(
+        "rid", f"{s['x0']} AS x0", f"{s['xz']} AS xz",
+        f"{s['y0']} AS y0", f"{s['yz']} AS yz",
+    ).selectExpr(
+        "rid", "x0", "xz", "y0", "yz",
+        "explode(array(0, 1, 2, 3)) AS side",
+    )
+    return df.selectExpr(
+        "rid * 4 + side AS sid",
+        "CASE side WHEN 0 THEN x0 WHEN 1 THEN xz WHEN 2 THEN xz ELSE x0 END AS x1",
+        "CASE side WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN yz ELSE yz END AS y1",
+        "CASE side WHEN 0 THEN xz WHEN 1 THEN xz WHEN 2 THEN x0 ELSE x0 END AS x2",
+        "CASE side WHEN 0 THEN y0 WHEN 1 THEN yz WHEN 2 THEN yz ELSE y0 END AS y2",
+    )
+
+
+def polygonize_oracle(layer: str = "rects_customer") -> str:
+    """Closed form: each rect's 4 inset boundary segments form one
+    component labelled min(sid) = rid * 4, assembling to a 4-vertex closed
+    ring of area 4 * (hw - inset) * (hh - inset)."""
+    from .overlay_diff import mm_sql
+
+    hw_mm, hh_mm = mm_sql("hw"), mm_sql("hh")
+    i_mm = _INSET_MM.format(hw_mm=hw_mm, hh_mm=hh_mm)
+    return world.with_layers(
+        f"""
+SELECT rid * 4 AS comp,
+       CAST(4 AS BIGINT) AS n_segs,
+       CAST(4 AS BIGINT) AS n_verts,
+       4 * ({hw_mm} - {i_mm}) * ({hh_mm} - {i_mm}) AS area_um2,
+       TRUE AS closed
+FROM {layer}
+WHERE {hw_mm} - {i_mm} > 0 AND {hh_mm} - {i_mm} > 0
+""",
+        layer,
+    )
+
+
+def tin_interpolation_groups(
+    points: DataFrame, group_col: str = "cat"
+) -> DataFrame:
+    """TINInterpolationProcess per group (GT/gridcoverage/
+    TINInterpolationProcess: linear barycentric interpolation over the
+    Delaunay TIN of control points). Input rows carry ``is_ctl`` (1 =
+    control with value ``v``, 0 = query); output (cat, pid, iv) for
+    in-hull queries. Rows-only gate — TIN topology is not SQL-expressible;
+    the kernel reproduces linear fields exactly (pytest)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import geomlib
+
+    schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("pid", T.LongType()),
+        T.StructField("iv", T.DoubleType()),
+    ])
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ctl = pdf[pdf["is_ctl"] == 1]
+        qry = pdf[pdf["is_ctl"] == 0]
+        if len(ctl) < 3 or len(qry) == 0:
+            return pd.DataFrame({group_col: [], "pid": [], "iv": []})
+        out = geomlib.tin_interpolate(
+            ctl["x"].to_numpy(), ctl["y"].to_numpy(), ctl["v"].to_numpy(),
+            qry["x"].to_numpy(), qry["y"].to_numpy(),
+        )
+        keep = ~np.isnan(out)
+        return pd.DataFrame(
+            {group_col: qry[group_col].to_numpy()[keep],
+             "pid": qry["pid"].to_numpy()[keep],
+             "iv": np.round(out[keep], 6)}
+        )
+
+    return (
+        planner.ensure_parallelism(
+            points.select(group_col, "pid", "x", "y", "is_ctl", "v")
+        )
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )

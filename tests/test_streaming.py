@@ -43,3 +43,40 @@ def test_stream_replay_equals_batch(spark, tmp_path):
     want = binning.rect_binning(pts, binning.WORLD_BBOX, 40, 25).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Stateful streaming dedup: replay emits exactly one row per distinct
+    fingerprint, and state carries ACROSS micro-batches (a key seen in
+    batch 1 is suppressed in batch 2)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    # 40 docs over 12 fingerprints; duplicates split across the two files
+    for i in range(40):
+        rows.append((i, f"fp{i % 12}", base + datetime.timedelta(seconds=i)))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "dedup_src")
+    df.where("doc_id < 20").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id >= 20").coalesce(1).write.mode("append").parquet(src)
+
+    out = streaming.stream_dedup_first_seen(spark, src, schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_replay").collect()
+    # exactly one row per distinct fingerprint, and it is the first-seen doc
+    assert len(got) == 12
+    by_fp = {r["fp"]: r["doc_id"] for r in got}
+    assert by_fp == {f"fp{k}": k for k in range(12)}

@@ -242,3 +242,76 @@ def test_repair_ring_degenerate_point():
     rx, ry, ok = geomlib.repair_ring(xs, ys)
     assert not ok
     assert len(rx) == 1
+
+
+# ---------------------------------------------------------------------------
+# TIN interpolation kernel
+# ---------------------------------------------------------------------------
+
+
+def test_tin_reproduces_linear_field():
+    rng = np.random.RandomState(11)
+    cx = np.round(rng.uniform(0, 100, 40), 3)
+    cy = np.round(rng.uniform(0, 100, 40), 3)
+    cv = 3.5 + 0.75 * cx - 0.5 * cy
+    qx = np.round(rng.uniform(25, 75, 80), 3)
+    qy = np.round(rng.uniform(25, 75, 80), 3)
+    out = geomlib.tin_interpolate(cx, cy, cv, qx, qy)
+    exp = 3.5 + 0.75 * qx - 0.5 * qy
+    m = ~np.isnan(out)
+    # interior queries (well inside the hull) must all resolve and match
+    assert m.sum() >= 70
+    assert np.abs(out[m] - exp[m]).max() < 1e-9
+
+
+def test_tin_exact_at_controls():
+    rng = np.random.RandomState(5)
+    cx = np.round(rng.uniform(0, 50, 25), 3)
+    cy = np.round(rng.uniform(0, 50, 25), 3)
+    cv = rng.randint(0, 1000, 25).astype(float)
+    out = geomlib.tin_interpolate(cx, cy, cv, cx, cy)
+    m = ~np.isnan(out)
+    assert m.all()
+    assert np.abs(out - cv).max() < 1e-6
+
+
+def test_tin_outside_hull_is_nan():
+    cx = np.array([10.0, 20.0, 15.0])
+    cy = np.array([10.0, 10.0, 20.0])
+    cv = np.array([1.0, 2.0, 3.0])
+    out = geomlib.tin_interpolate(cx, cy, cv, np.array([100.0]), np.array([100.0]))
+    assert np.isnan(out[0])
+
+
+# ---------------------------------------------------------------------------
+# assemble_ring kernel (polygonize)
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_ring_shuffled_square():
+    rng = np.random.RandomState(2)
+    # square segments in random order and random direction
+    segs = [((0, 0), (4, 0)), ((4, 0), (4, 4)), ((4, 4), (0, 4)), ((0, 4), (0, 0))]
+    for trial in range(10):
+        order = rng.permutation(4)
+        pts = []
+        for i in order:
+            a, b = segs[i]
+            if rng.rand() < 0.5:
+                a, b = b, a
+            pts.append((a, b))
+        x1 = np.array([p[0][0] for p in pts], dtype=float)
+        y1 = np.array([p[0][1] for p in pts], dtype=float)
+        x2 = np.array([p[1][0] for p in pts], dtype=float)
+        y2 = np.array([p[1][1] for p in pts], dtype=float)
+        nv, area, ok = geomlib.assemble_ring(x1, y1, x2, y2)
+        assert ok and nv == 4 and area == pytest.approx(16.0)
+
+
+def test_assemble_ring_dangling_fails():
+    x1 = np.array([0.0, 4.0, 4.0])
+    y1 = np.array([0.0, 0.0, 4.0])
+    x2 = np.array([4.0, 4.0, 0.0])
+    y2 = np.array([0.0, 4.0, 4.0])
+    nv, area, ok = geomlib.assemble_ring(x1, y1, x2, y2)
+    assert not ok
