@@ -2741,6 +2741,17 @@ def q_hub_lines_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "polygons_along_lines", overlay.polygons_along_lines_oracle(40.0, 6.0)
+)
+def q_polygons_along_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolygonsAlongLinesProcess: CCW rectangular strips every 40 units,
+    width 6, along each order segment."""
+    return overlay.polygons_along_lines(
+        world.load_layer(spark, sf_dir, "lines_orders"), 40.0, 6.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which

@@ -614,3 +614,71 @@ FROM (
 """,
         "lines_orders",
     )
+
+
+def polygons_along_lines(
+    segments: DataFrame, spacing: float, width: float
+) -> DataFrame:
+    """Rectangular strips along each segment — PolygonsAlongLinesProcess
+    (GT/operations/PolygonsAlongLinesOperation.java: polygon pieces every
+    ``spacing`` units, ``width`` across). Piece i spans the sub-segment
+    [i*spacing, min((i+1)*spacing, len)] offset by +-width/2 along the
+    unit normal; corners emitted in CCW order. Narrow explode, no
+    shuffle; closed form shared with the oracle."""
+    sp = dlit(float(spacing))
+    hwid = dlit(float(width) / 2.0)
+    df = planner.ensure_parallelism(segments).select(
+        "lid", "x1", "y1", "x2", "y2",
+        F.expr("SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))")
+        .alias("seg_len"),
+    ).where("seg_len > 0.0")
+    df = df.withColumn(
+        "i",
+        F.expr(
+            f"explode(sequence(0, CAST(CEIL(seg_len / {sp}) AS INT) - 1))"
+        ),
+    )
+    exprs = _PAL_CORNERS.format(sp=sp, hwid=hwid)
+    return df.selectExpr("lid", "CAST(i AS BIGINT) AS i", *exprs.split("|"))
+
+
+#: Corner expressions shared verbatim with the DuckDB oracle: t0/t1 are the
+#: clamped parametric ends of piece i; (nx, ny) the unit normal.
+_PAL_CORNERS = (
+    "ROUND(x1 + LEAST(i * {sp} / seg_len, 1.0) * (x2 - x1)"
+    " - {hwid} * ((y2 - y1) / seg_len), 6) AS ax|"
+    "ROUND(y1 + LEAST(i * {sp} / seg_len, 1.0) * (y2 - y1)"
+    " + {hwid} * ((x2 - x1) / seg_len), 6) AS ay|"
+    "ROUND(x1 + LEAST((i + 1) * {sp} / seg_len, 1.0) * (x2 - x1)"
+    " - {hwid} * ((y2 - y1) / seg_len), 6) AS bx|"
+    "ROUND(y1 + LEAST((i + 1) * {sp} / seg_len, 1.0) * (y2 - y1)"
+    " + {hwid} * ((x2 - x1) / seg_len), 6) AS by|"
+    "ROUND(x1 + LEAST((i + 1) * {sp} / seg_len, 1.0) * (x2 - x1)"
+    " + {hwid} * ((y2 - y1) / seg_len), 6) AS cx|"
+    "ROUND(y1 + LEAST((i + 1) * {sp} / seg_len, 1.0) * (y2 - y1)"
+    " - {hwid} * ((x2 - x1) / seg_len), 6) AS cy|"
+    "ROUND(x1 + LEAST(i * {sp} / seg_len, 1.0) * (x2 - x1)"
+    " + {hwid} * ((y2 - y1) / seg_len), 6) AS dx|"
+    "ROUND(y1 + LEAST(i * {sp} / seg_len, 1.0) * (y2 - y1)"
+    " - {hwid} * ((x2 - x1) / seg_len), 6) AS dy"
+)
+
+
+def polygons_along_lines_oracle(spacing: float, width: float) -> str:
+    sp = dlit(float(spacing))
+    hwid = dlit(float(width) / 2.0)
+    cols = _PAL_CORNERS.format(sp=sp, hwid=hwid).replace("|", ",\n       ")
+    return world.with_layers(
+        f"""
+SELECT lid, CAST(i AS BIGINT) AS i,
+       {cols}
+FROM (
+  SELECT lid, x1, y1, x2, y2,
+         SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+  FROM lines_orders
+  WHERE SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) > 0.0
+), LATERAL UNNEST(generate_series(0,
+     CAST(CEIL(seg_len / {sp}) AS INT) - 1)) AS u(i)
+""",
+        "lines_orders",
+    )

@@ -72,10 +72,25 @@ def main() -> None:
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     factor = n_big / n_small
 
+    # Optional min-merge with a prior study pass (env BENCH_PRIOR = path to
+    # the raw-JSON file of an earlier run): the host's background load
+    # fluctuates on ~10-minute scales, long enough that one pass's
+    # min-of-2 can still catch a loaded window for some cell (measured:
+    # the same query+level cell gave 33.5 s in one pass and 19.2 s
+    # re-run minutes later). The min over passes is the steady-state
+    # estimator the methodology already claims.
+    prior: dict = {}
+    pp = os.environ.get("BENCH_PRIOR")
+    if pp and os.path.exists(pp):
+        prior = json.load(open(pp)).get("queries", {})
+
     rows = []
     for q in SUITE:
         ts = run_query(q, n_small, sf_dir)
         tb = run_query(q, n_big, sf_dir)
+        if q in prior:
+            ts = min(ts, prior[q]["t_small"])
+            tb = min(tb, prior[q]["t_big"])
         rows.append((q, ts, tb, ts / tb, (ts / tb) / factor))
         print(
             json.dumps({"query": q, "t_small": ts, "t_big": tb,
@@ -112,7 +127,7 @@ def main() -> None:
         "the host's fluctuating background load (~4-9 cores) hits both",
         f"legs alike. Shuffle partitions fixed at {shuffle} for BOTH",
         "levels (same task graph, fewer or more threads); each cell is",
-        f"min-of-{repeat} after an untimed warm build+execute.",
+        f"min-of-{repeat} after an untimed warm build+execute, min-merged\nacross study passes when BENCH_PRIOR is set (see tools/scaling.py).",
         "",
         "Level choice: the host has 32 physical cores; a pure-codegen",
         "Spark microbench (range->arith->hash agg, zero shuffle) scales",
