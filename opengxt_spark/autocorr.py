@@ -902,3 +902,94 @@ FROM {nested}
 """,
         "points_events",
     )
+
+
+def local_lees_s(points: DataFrame, band: float, x: str = "v") -> DataFrame:
+    """Local Lee's S_i (LocalLeesSOperation.java:99-135): univariate spatial
+    smoothing concentration per feature —
+    S_i = (n^2 / sum_i deg_i^2) * (sum_j w_ij (x_j - mean))^2 / m2,
+    binary band weights, self included (Lee's smoother includes i; matches
+    the global operator's convention). Inference: the reference's own
+    z-score is hardcoded 0.0 ("TODO correct") — index only here too.
+    Output (pid, lls_index)."""
+    st = joins.band_stats_join(points, points, band, value_col=x)
+    mom = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(F.expr(f"{x} * {x}")).cast("long").alias("sxx"),
+    )
+    w2 = st.agg(F.sum(F.expr("cnt * cnt")).cast("long").alias("wij2sum"))
+    row = st.crossJoin(F.broadcast(mom)).crossJoin(F.broadcast(w2))
+    return row.selectExpr(
+        "pid_l AS pid",
+        "ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+        "/ CAST(wij2sum AS DOUBLE)) "
+        "* ((CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n)) "
+        "* (CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n))) "
+        "/ (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) "
+        "* (CAST(sx AS DOUBLE) / n)), 6) AS lls_index",
+    )
+
+
+def local_rogerson_r(
+    points: DataFrame,
+    band: float,
+    case_col: str = "case_v",
+    pop_col: str = "pop_v",
+    kappa: float = 1.0,
+) -> DataFrame:
+    """Local Rogerson R_i (LocalRogersonROperation.java:91-134):
+    R_i = ((r_i - p_i) / sqrt(p_i)) * sum_j a_ij (r_j - p_j) / sqrt(p_j)
+    with a_ii = 1, a_ij = 1 for d <= 1 else d^-kappa;
+    z_i = R_i / E(R_i), E(R_i) = (1 - p_i) / sum_x.
+
+    Same documented deviations as the global operator: band-truncated
+    weights, 1e-12-quantized per-pair terms summed as exact integers
+    (order-free). Output (pid, lrr_index, lrr_z)."""
+    tot = points.agg(
+        F.sum(case_col).cast("long").alias("sum_x"),
+        F.sum(pop_col).cast("long").alias("sum_y"),
+    )
+    pairs = distance_band_join(
+        points, points, band,
+        left_extra={"xi": case_col, "yi": pop_col},
+        right_extra={"xj": case_col, "yj": pop_col},
+    ).where(F.col("pid_l") != F.col("pid_r"))
+    pairs = pairs.crossJoin(F.broadcast(tot))
+    # weights from the EXACT squared distance (the pair table's ``dist`` is
+    # display-rounded to 1e-6, which would shift FLOOR quantization buckets
+    # vs the oracle's raw arithmetic)
+    inv = (
+        "1.0 / SQRT(d2)"
+        if float(kappa) == 1.0
+        else f"1.0 / POW(SQRT(d2), {float(kappa)!r})"
+    )
+    aij = f"CASE WHEN d2 <= 1.0 THEN 1.0 ELSE {inv} END"
+    nb = (
+        pairs.selectExpr(
+            "pid_l",
+            f"CAST(FLOOR(1e12 * {aij} "
+            "* (CAST(xj AS DOUBLE) / sum_x - CAST(yj AS DOUBLE) / sum_y) "
+            "/ SQRT(CAST(yj AS DOUBLE) / sum_y)) AS BIGINT) AS term_u",
+        )
+        .groupBy("pid_l")
+        .agg(F.sum("term_u").cast("long").alias("nb_u"))
+    )
+    base = points.crossJoin(F.broadcast(tot)).selectExpr(
+        "pid",
+        f"(CAST({case_col} AS DOUBLE) / sum_x "
+        f"- CAST({pop_col} AS DOUBLE) / sum_y) AS ripi",
+        f"SQRT(CAST({pop_col} AS DOUBLE) / sum_y) AS sqp",
+        f"CAST({pop_col} AS DOUBLE) / sum_y AS pi_",
+        "CAST(sum_x AS BIGINT) AS sum_x",
+    ).selectExpr(
+        "pid", "ripi", "sqp", "pi_", "sum_x",
+        "CAST(FLOOR(1e12 * (ripi / sqp)) AS BIGINT) AS self_u",
+    )
+    out = base.join(nb, base.pid == nb.pid_l, "left").na.fill({"nb_u": 0})
+    return out.selectExpr(
+        "pid",
+        "ROUND((ripi / sqp) * ((self_u + nb_u) / 1e12), 6) AS lrr_index",
+        "ROUND(((ripi / sqp) * ((self_u + nb_u) / 1e12)) "
+        "/ ((1.0 - pi_) / CAST(sum_x AS DOUBLE)), 6) AS lrr_z",
+    )

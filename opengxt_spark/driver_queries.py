@@ -2752,6 +2752,99 @@ def q_polygons_along_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOCAL_LEES_S_ORACLE = world.with_layers(
+    """
+WITH pts AS (SELECT pid, x, y, w % 97 AS v FROM points_events),
+ist AS (SELECT l.pid AS pid_l, COUNT(*) AS cnt,
+        CAST(SUM(r.v) AS BIGINT) AS sum_v
+        FROM pts l JOIN pts r
+          ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 100.0
+        GROUP BY l.pid),
+mom AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+        CAST(SUM(v * v) AS BIGINT) AS sxx FROM pts),
+w2 AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS wij2sum FROM ist)
+SELECT pid_l AS pid,
+       ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       / CAST(wij2sum AS DOUBLE))
+       * ((CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n))
+       * (CAST(sum_v AS DOUBLE) - cnt * (CAST(sx AS DOUBLE) / n)))
+       / (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n)
+       * (CAST(sx AS DOUBLE) / n)), 6) AS lls_index
+FROM ist CROSS JOIN mom CROSS JOIN w2
+""",
+    "points_events",
+)
+
+
+@_register("local_lees_s", _LOCAL_LEES_S_ORACLE)
+def q_local_lees_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalLeesSProcess: per-feature univariate smoothing concentration
+    (index only — the reference's z is hardcoded 0.0 "TODO correct")."""
+    return autocorr.local_lees_s(_ac_points(spark, sf_dir), _AC_BAND)
+
+
+_LRR_BAND = 25.0
+
+
+def _local_rogerson_oracle() -> str:
+    return world.with_layers(
+        f"""
+WITH pts AS (SELECT pid, x, y, w % 97 + 1 AS case_v, w % 89 + 1 AS pop_v
+             FROM points_events),
+tot AS (SELECT CAST(SUM(case_v) AS BIGINT) AS sum_x,
+        CAST(SUM(pop_v) AS BIGINT) AS sum_y FROM pts),
+pr AS (
+  SELECT a.pid AS pid_l, b.pid AS pid_r,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         b.case_v AS xj, b.pop_v AS yj
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {world.dlit(_LRR_BAND * _LRR_BAND)}
+   AND a.pid <> b.pid
+),
+nb AS (
+  SELECT pid_l, CAST(SUM(
+    CAST(FLOOR(1e12 * (CASE WHEN d2 <= 1.0 THEN 1.0 ELSE 1.0 / SQRT(d2) END)
+    * (CAST(xj AS DOUBLE) / sum_x - CAST(yj AS DOUBLE) / sum_y)
+    / SQRT(CAST(yj AS DOUBLE) / sum_y)) AS BIGINT)) AS BIGINT) AS nb_u
+  FROM pr CROSS JOIN tot GROUP BY pid_l
+),
+base AS (
+  SELECT pid,
+         (CAST(case_v AS DOUBLE) / sum_x - CAST(pop_v AS DOUBLE) / sum_y)
+           AS ripi,
+         SQRT(CAST(pop_v AS DOUBLE) / sum_y) AS sqp,
+         CAST(pop_v AS DOUBLE) / sum_y AS pi_,
+         CAST(sum_x AS BIGINT) AS sum_x
+  FROM pts CROSS JOIN tot
+),
+b2 AS (
+  SELECT pid, ripi, sqp, pi_, sum_x,
+         CAST(FLOOR(1e12 * (ripi / sqp)) AS BIGINT) AS self_u
+  FROM base
+)
+SELECT b2.pid,
+       ROUND((ripi / sqp) * ((self_u + COALESCE(nb.nb_u, 0)) / 1e12), 6)
+         AS lrr_index,
+       ROUND(((ripi / sqp) * ((self_u + COALESCE(nb.nb_u, 0)) / 1e12))
+       / ((1.0 - pi_) / CAST(sum_x AS DOUBLE)), 6) AS lrr_z
+FROM b2 LEFT JOIN nb ON nb.pid_l = b2.pid
+""",
+        "points_events",
+    )
+
+
+@_register("local_rogerson_r", _local_rogerson_oracle())
+def q_local_rogerson_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalRogersonRProcess: per-feature Tango contribution with
+    a_ii = 1, a_ij = min(1, 1/d); z = R_i / E(R_i). Same band-truncation
+    and 1e-12 quantization contract as the global operator."""
+    pts = world.points_events(spark, sf_dir).selectExpr(
+        "pid", "x", "y", "w % 97 + 1 AS case_v", "w % 89 + 1 AS pop_v"
+    )
+    return autocorr.local_rogerson_r(pts, band=_LRR_BAND)
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which
