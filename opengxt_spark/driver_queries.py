@@ -2845,6 +2845,13 @@ def q_local_rogerson_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr.local_rogerson_r(pts, band=_LRR_BAND)
 
 
+@_register("raster_describe", raster.raster_describe_oracle())
+def q_raster_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterDescribeProcess: one-row raster description (extent, cell
+    size, min/max/mean/sd from exact integer sums)."""
+    return raster.raster_describe(spark)
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which

@@ -1969,3 +1969,60 @@ SELECT oid, ray, CAST(COUNT(*) AS BIGINT) AS n_stations,
          AS last_visible
 FROM vis GROUP BY oid, ray
 """
+
+
+def raster_describe(spark: SparkSession) -> DataFrame:
+    """RasterDescribeProcess (GT/RasterDescribeProcess.java: extent, cell
+    size, bands, min/max/mean/sd statistics): one-row description of the
+    synthetic value raster. Mean/sd come from exact integer sums (v is
+    integer-valued), so the description is order-free cross-engine."""
+    cell = dlit(ZPIX_CELL)
+    pix = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    agg = pix.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("ix").alias("min_ix"), F.max("ix").alias("max_ix"),
+        F.min("iy").alias("min_iy"), F.max("iy").alias("max_iy"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.sum(F.expr("v * v")).cast("long").alias("sum_v2"),
+    )
+    return agg.selectExpr(
+        "n_cells",
+        f"ROUND((CAST(max_ix AS DOUBLE) - min_ix + 1.0) * {cell}, 6)"
+        " AS width",
+        f"ROUND((CAST(max_iy AS DOUBLE) - min_iy + 1.0) * {cell}, 6)"
+        " AS height",
+        f"{cell} AS cell_size",
+        "min_v", "max_v",
+        "ROUND(CAST(sum_v AS DOUBLE) / n_cells, 6) AS mean_v",
+        "ROUND(SQRT(CAST(sum_v2 AS DOUBLE) / n_cells "
+        "- (CAST(sum_v AS DOUBLE) / n_cells) "
+        "* (CAST(sum_v AS DOUBLE) / n_cells)), 6) AS sd_v",
+    )
+
+
+def raster_describe_oracle() -> str:
+    cell = dlit(ZPIX_CELL)
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         MIN(ix) AS min_ix, MAX(ix) AS max_ix,
+         MIN(iy) AS min_iy, MAX(iy) AS max_iy,
+         CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v,
+         CAST(SUM(v) AS BIGINT) AS sum_v,
+         CAST(SUM(v * v) AS BIGINT) AS sum_v2
+  FROM pix
+)
+SELECT n_cells,
+       ROUND((CAST(max_ix AS DOUBLE) - min_ix + 1.0) * {cell}, 6) AS width,
+       ROUND((CAST(max_iy AS DOUBLE) - min_iy + 1.0) * {cell}, 6) AS height,
+       {cell} AS cell_size,
+       min_v, max_v,
+       ROUND(CAST(sum_v AS DOUBLE) / n_cells, 6) AS mean_v,
+       ROUND(SQRT(CAST(sum_v2 AS DOUBLE) / n_cells
+       - (CAST(sum_v AS DOUBLE) / n_cells)
+       * (CAST(sum_v AS DOUBLE) / n_cells)), 6) AS sd_v
+FROM agg
+"""
