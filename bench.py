@@ -15,7 +15,7 @@ targets / 13M candidate pairs keeps 32 cores busy for seconds per query —
 the regime the 100 TB design actually lives in.
 
 Execution measured end-to-end with the noop sink; each query runs
-``BENCH_REPEAT`` (default 2) times and the minimum is reported
+``BENCH_REPEAT`` (default 3) times and the minimum is reported
 (steady-state, JIT/GC warmup excluded). BENCH_QUERIES=a,b to
 subset; BENCH_SCALE=1 reproduces the raw sf tables.
 """
@@ -140,7 +140,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     n_events = world.points_events(spark, sf_dir).count() * K
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     for name in names:
         # Warm one full build+execute (codegen/JIT, excluded from timing).

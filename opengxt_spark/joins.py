@@ -155,7 +155,12 @@ def _ring_strategy(right: DataFrame, radius: float, cell_size: float) -> str:
         if len(_RIGHT_COUNT_CACHE) > 256:
             _RIGHT_COUNT_CACHE.clear()
         _RIGHT_COUNT_CACHE[key] = n
-    cells_per = max(1.0, 3.3 * (radius / cell_size) ** 2)
+    # bbox cover (2r/cs + 1)^2 with the ~18% circle-corner prune: the
+    # asymptotic 3.3(r/cs)^2 under-counts by the +1 discretization term,
+    # badly when cs >~ r (estimated 1.4 cells vs an actual 5.3 at
+    # r/cs = 0.65 — which silently flipped ring 1 to a near-megarow
+    # driver-serial broadcast)
+    cells_per = 0.82 * (2.0 * radius / cell_size + 1.0) ** 2
     return (
         "broadcast"
         if n * cells_per <= RING_BROADCAST_LIMIT
