@@ -2852,6 +2852,17 @@ def q_raster_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.raster_describe(spark)
 
 
+@_register("max_inscribed_rect")
+def q_max_inscribed_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureToMaximumInscribedRectangleProcess per category (40x40
+    raster sweep over the group hull; rows-only — containment/area
+    invariants in pytest)."""
+    return transforms_geom.max_inscribed_rects(
+        world.points_part(spark, sf_dir)
+        .withColumn("cat", F.expr("CAST(pid % 6 AS STRING)"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which

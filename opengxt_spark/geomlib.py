@@ -623,3 +623,73 @@ def tin_interpolate(
                 + l3[t] * vals[tris[t, 2]]
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Maximum inscribed rectangle — FeatureToMaximumInscribedRectangleProcess
+# (GT/util/MaximumInscribedRectangle.java:144-262): rasterize the polygon
+# onto a scale x scale grid of cell centers, then the classic
+# largest-rectangle-of-true-cells histogram/stack sweep; the output
+# envelope uses the reference's own reconstruction (lower-left cell + one
+# cell inset). Axis-aligned variant (rotate=false); the rotate=true path
+# pre-rotates by the minimum-diameter angle (documented narrowing).
+# ---------------------------------------------------------------------------
+
+
+def max_inscribed_rect(
+    xs: np.ndarray, ys: np.ndarray, scale: int = 40
+) -> tuple[float, float, float, float]:
+    """Largest axis-aligned rectangle of interior grid cells of the
+    polygon (xs, ys). Returns (minx, miny, maxx, maxy)."""
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    dx = (x1 - x0) / scale
+    dy = (y1 - y0) / scale
+    if dx <= 0 or dy <= 0:
+        return x0, y0, x1, y1
+    cols = rows = scale
+    # cell centers, vectorized ray-cast per row
+    matrix = np.zeros((rows, cols), dtype=bool)
+    cxs = x0 + np.arange(cols) * dx + dx / 2.0
+    for row in range(rows):
+        cy = y0 + row * dy + dy / 2.0
+        matrix[row] = points_in_polygon(cxs, np.full(cols, cy), xs, ys)
+
+    best_area = 0
+    ll = (0, 0)
+    ur = (-1, -1)
+    cache = np.zeros(cols + 1, dtype=np.int64)
+    for row in range(rows):
+        # heights of open columns up to this row
+        cache[:cols] = np.where(matrix[row], cache[:cols] + 1, 0)
+        stack: list[tuple[int, int]] = []
+        open_w = 0
+        for col in range(cols + 1):
+            h = int(cache[col])
+            if h > open_w:
+                stack.append((col, open_w))
+                open_w = h
+            elif h < open_w:
+                while True:
+                    cx, cw = stack.pop()
+                    area = open_w * (col - cx)
+                    if area > best_area:
+                        best_area = area
+                        ll = (cx, row)
+                        ur = (col - 1, row - open_w + 1)
+                    open_w = cw
+                    if h >= open_w:
+                        break
+                open_w = h
+                if open_w != 0:
+                    stack.append((cx, cw))
+    # reference reconstruction (one-cell inset on the min corner)
+    minx = x0 + ll[0] * dx + dx
+    miny = y0 + ur[1] * dy + dy   # ur holds the smaller row index
+    maxx = x0 + ur[0] * dx + dx
+    maxy = y0 + ll[1] * dy + dy
+    if minx > maxx:
+        minx, maxx = maxx, minx
+    if miny > maxy:
+        miny, maxy = maxy, miny
+    return minx, miny, maxx, maxy

@@ -1002,3 +1002,44 @@ def tin_interpolation_groups(
         .groupBy(group_col)
         .applyInPandas(per_group, schema=schema)
     )
+
+
+def max_inscribed_rects(points: DataFrame, group_col: str = "cat") -> DataFrame:
+    """FeatureToMaximumInscribedRectangleProcess per group (GT/util/
+    MaximumInscribedRectangle.java:144-262: 40x40 cell-center
+    rasterization + largest-true-rectangle sweep; axis-aligned variant —
+    the reference's rotate=true pre-rotation by the minimum-diameter angle
+    is a documented narrowing). Polygon = the group's convex hull. Output
+    (cat, minx, miny, maxx, maxy, rect_area); rows-only gate, containment
+    and area invariants in pytest (the reference's one-cell reconstruction
+    inset can overhang slanted edges by <= one cell — identical here)."""
+    import pandas as pd
+
+    from . import geomlib
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hx, hy = geomlib.convex_hull(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        )
+        if len(hx) < 3:
+            return pd.DataFrame(
+                {group_col: [], "minx": [], "miny": [], "maxx": [],
+                 "maxy": [], "rect_area": []}
+            )
+        minx, miny, maxx, maxy = geomlib.max_inscribed_rect(hx, hy)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]],
+             "minx": [round(minx, 6)], "miny": [round(miny, 6)],
+             "maxx": [round(maxx, 6)], "maxy": [round(maxy, 6)],
+             "rect_area": [round((maxx - minx) * (maxy - miny), 6)]}
+        )
+
+    schema = (
+        f"{group_col} string, minx double, miny double, maxx double, "
+        "maxy double, rect_area double"
+    )
+    return (
+        planner.ensure_parallelism(points.select(group_col, "x", "y"))
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )

@@ -315,3 +315,54 @@ def test_assemble_ring_dangling_fails():
     y2 = np.array([0.0, 4.0, 4.0])
     nv, area, ok = geomlib.assemble_ring(x1, y1, x2, y2)
     assert not ok
+
+
+# ---------------------------------------------------------------------------
+# max_inscribed_rect kernel
+# ---------------------------------------------------------------------------
+
+
+def test_max_inscribed_rect_lshape():
+    xs = np.array([0.0, 10.0, 10.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])
+    minx, miny, maxx, maxy = geomlib.max_inscribed_rect(xs, ys)
+    area = (maxx - minx) * (maxy - miny)
+    # grid-discretized bottom (10x4) or left (4x10) bar, one-cell insets
+    assert 30.0 <= area <= 40.0
+    # the rectangle interior stays inside the polygon: sample the center
+    assert geomlib.point_in_polygon(
+        (minx + maxx) / 2.0, (miny + maxy) / 2.0, xs, ys
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=5,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_max_inscribed_rect_in_hull(pts):
+    xs = np.array([p[0] / 10.0 for p in pts])
+    ys = np.array([p[1] / 10.0 for p in pts])
+    hx, hy = geomlib.convex_hull(xs, ys)
+    if len(hx) < 3 or geomlib.shoelace_area(hx, hy) < 1.0:
+        return
+    minx, miny, maxx, maxy = geomlib.max_inscribed_rect(hx, hy)
+    assert maxx >= minx and maxy >= miny
+    # area bounded by the hull area (+ the documented one-cell overhang)
+    dx = (hx.max() - hx.min()) / 40.0
+    dy = (hy.max() - hy.min()) / 40.0
+    hull_area = geomlib.shoelace_area(hx, hy)
+    rect_area = (maxx - minx) * (maxy - miny)
+    assert rect_area <= hull_area + 2.0 * (dx * (hy.max() - hy.min())
+                                           + dy * (hx.max() - hx.min()))
+    # rectangle center is strictly inside the hull
+    assert geomlib.point_in_polygon(
+        (minx + maxx) / 2.0, (miny + maxy) / 2.0, hx, hy
+    )
