@@ -2863,6 +2863,19 @@ def q_max_inscribed_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("tps_interpolation")
+def q_tps_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPSProcess per category: thin-plate spline (r^2 ln r + affine) fit
+    on control points (pid % 7 = 0), evaluated at the rest (rows-only;
+    affine-exactness + control reproduction in pytest)."""
+    pts = world.points_part(spark, sf_dir).selectExpr(
+        "CAST(pid % 4 AS STRING) AS cat", "pid", "x", "y",
+        "CASE WHEN pid % 7 = 0 THEN 1 ELSE 0 END AS is_ctl",
+        "CAST(CAST(FLOOR(val) AS BIGINT) % 1000 AS DOUBLE) AS v",
+    )
+    return transforms_geom.tps_interpolation_groups(pts)
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which

@@ -693,3 +693,44 @@ def max_inscribed_rect(
     if miny > maxy:
         miny, maxy = maxy, miny
     return minx, miny, maxx, maxy
+
+
+# ---------------------------------------------------------------------------
+# Thin-plate spline interpolation — TPSProcess (GT/gridcoverage/
+# RasterInterpolationTPSOperation: radial basis r^2 ln r with affine part).
+# The dense (m+3)x(m+3) solve is per GROUP of control points (m is small —
+# the reference also solves one global dense system); evaluation is
+# vectorized over queries.
+# ---------------------------------------------------------------------------
+
+
+def _tps_kernel(r2: np.ndarray) -> np.ndarray:
+    """U(r) = r^2 * ln(r^2) / 2 = r^2 ln r, with U(0) = 0."""
+    out = np.zeros_like(r2)
+    nz = r2 > 0
+    out[nz] = 0.5 * r2[nz] * np.log(r2[nz])
+    return out
+
+
+def tps_fit(cx: np.ndarray, cy: np.ndarray, cv: np.ndarray):
+    """Solve the exact-interpolation TPS system. Returns (w, a) with
+    len(w) = m radial weights and a = (a0, ax, ay) affine part."""
+    m = len(cx)
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    K = _tps_kernel(d2)
+    P = np.column_stack([np.ones(m), cx, cy])
+    A = np.zeros((m + 3, m + 3))
+    A[:m, :m] = K
+    A[:m, m:] = P
+    A[m:, :m] = P.T
+    b = np.concatenate([cv, np.zeros(3)])
+    sol = np.linalg.solve(A, b)
+    return sol[:m], sol[m:]
+
+
+def tps_eval(
+    cx: np.ndarray, cy: np.ndarray, w: np.ndarray, a: np.ndarray,
+    qx: np.ndarray, qy: np.ndarray,
+) -> np.ndarray:
+    d2 = (qx[:, None] - cx[None, :]) ** 2 + (qy[:, None] - cy[None, :]) ** 2
+    return a[0] + a[1] * qx + a[2] * qy + _tps_kernel(d2) @ w

@@ -1043,3 +1043,53 @@ def max_inscribed_rects(points: DataFrame, group_col: str = "cat") -> DataFrame:
         .groupBy(group_col)
         .applyInPandas(per_group, schema=schema)
     )
+
+
+def tps_interpolation_groups(
+    points: DataFrame, group_col: str = "cat"
+) -> DataFrame:
+    """TPSProcess per group (GT/gridcoverage/RasterInterpolationTPS
+    Operation): thin-plate spline r^2 ln r + affine part, exact
+    interpolation, per-group dense solve in the Arrow batch (controls are
+    small; the reference solves one global dense system single-threaded).
+    Input rows carry ``is_ctl``/``v`` like tin_interpolation_groups;
+    output (cat, pid, iv). Rows-only gate — kernel reproduces affine
+    fields and control values exactly (pytest)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import geomlib
+
+    schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("pid", T.LongType()),
+        T.StructField("iv", T.DoubleType()),
+    ])
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ctl = pdf[pdf["is_ctl"] == 1]
+        qry = pdf[pdf["is_ctl"] == 0]
+        if len(ctl) < 4 or len(qry) == 0:
+            return pd.DataFrame({group_col: [], "pid": [], "iv": []})
+        w, a = geomlib.tps_fit(
+            ctl["x"].to_numpy(), ctl["y"].to_numpy(), ctl["v"].to_numpy()
+        )
+        out = geomlib.tps_eval(
+            ctl["x"].to_numpy(), ctl["y"].to_numpy(), w, a,
+            qry["x"].to_numpy(), qry["y"].to_numpy(),
+        )
+        return pd.DataFrame(
+            {group_col: qry[group_col].to_numpy(),
+             "pid": qry["pid"].to_numpy(),
+             "iv": np.round(out, 6)}
+        )
+
+    return (
+        planner.ensure_parallelism(
+            points.select(group_col, "pid", "x", "y", "is_ctl", "v")
+        )
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )

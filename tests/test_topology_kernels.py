@@ -366,3 +366,32 @@ def test_max_inscribed_rect_in_hull(pts):
     assert geomlib.point_in_polygon(
         (minx + maxx) / 2.0, (miny + maxy) / 2.0, hx, hy
     )
+
+
+# ---------------------------------------------------------------------------
+# TPS kernel
+# ---------------------------------------------------------------------------
+
+
+def test_tps_reproduces_affine_field():
+    rng = np.random.RandomState(9)
+    cx = np.round(rng.uniform(0, 100, 30), 3)
+    cy = np.round(rng.uniform(0, 100, 30), 3)
+    cv = 1.5 + 0.3 * cx - 0.7 * cy
+    w, a = geomlib.tps_fit(cx, cy, cv)
+    qx = rng.uniform(0, 100, 50)
+    qy = rng.uniform(0, 100, 50)
+    out = geomlib.tps_eval(cx, cy, w, a, qx, qy)
+    assert np.abs(out - (1.5 + 0.3 * qx - 0.7 * qy)).max() < 1e-9
+    # radial weights vanish for an affine field
+    assert np.abs(w).max() < 1e-10
+
+
+def test_tps_exact_at_controls():
+    rng = np.random.RandomState(4)
+    cx = np.round(rng.uniform(0, 50, 25), 3)
+    cy = np.round(rng.uniform(0, 50, 25), 3)
+    cv = np.sin(cx / 10.0) + np.cos(cy / 7.0)
+    w, a = geomlib.tps_fit(cx, cy, cv)
+    rec = geomlib.tps_eval(cx, cy, w, a, cx, cy)
+    assert np.abs(rec - cv).max() < 1e-9
