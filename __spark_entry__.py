@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from opengxt_spark import driver_queries  # noqa: E402
+from opengxt_spark import driver_queries, gatenorm  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,5 +30,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(driver_queries.ORACLES)
+    """DuckDB-runnable ANSI SQL equivalent for each query.
+
+    Each oracle is wrapped in a signed-zero-normalizing projection (see
+    ``opengxt_spark.gatenorm``) matching the projection applied to the Spark
+    side by the query registry, so ``-0.0`` vs ``0.0`` emission differences
+    between the engines can never flip the driver's value hash.
+    """
+    return gatenorm.dezero_oracles(dict(driver_queries.ORACLES))

@@ -142,13 +142,19 @@ def main() -> None:
     n_events = world.points_events(spark, sf_dir).count() * K
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in names:
         # Warm one full build+execute (codegen/JIT, excluded from timing).
+        # The warm build also pays the one-time plan probes (strategy /
+        # density / count jobs, memoized per canonical plan since round 3),
+        # so warm_build - steady build isolates probe cost for the report.
+        t0 = time.time()
         df = QUERY_BUILDERS[name](ins)
+        warm_build = time.time() - t0
         df.write.format("noop").mode("overwrite").save()
         del df
         joins.release_scratch()
-        best = float("inf")
+        best = best_build = best_exec = float("inf")
         for _ in range(repeat):
             # Each repeat rebuilds the plan from scratch: two-phase joins
             # materialize their phase-1 cache eagerly at build time, so
@@ -157,11 +163,20 @@ def main() -> None:
             # repeats read the earlier repeat's cache.
             t0 = time.time()
             df = QUERY_BUILDERS[name](ins)
+            t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            t2 = time.time()
+            best = min(best, t2 - t0)
+            best_build = min(best_build, t1 - t0)
+            best_exec = min(best_exec, t2 - t1)
             del df
             joins.release_scratch()
         timings[name] = round(best, 3)
+        phases[name] = {
+            "build_s": round(best_build, 3),
+            "probe_s": round(max(warm_build - best_build, 0.0), 3),
+            "exec_s": round(best_exec, 3),
+        }
         # Release broadcasts before the next query runs; the JVM GC hint
         # runs between timings, not inside them.
         gc.collect()
@@ -175,6 +190,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "bench_scale": K,
                 "input_points": n_events,

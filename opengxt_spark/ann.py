@@ -15,10 +15,32 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 N_PLANES = 8
 DIM = 64
+
+#: Target expected vectors per bucket; planes_for sizes the signature so
+#: per-bucket self-join work stays ~n * OCCUPANCY instead of n^2 / 2^planes.
+TARGET_OCCUPANCY = 64
+
+
+def planes_for(n: int, target_occupancy: int = TARGET_OCCUPANCY) -> int:
+    """Signature width for ``n`` vectors: enough hyperplanes that the
+    expected bucket occupancy n / 2^planes stays <= target_occupancy.
+
+    Round 2 fixed ``N_PLANES = 8`` (256 buckets), which leaves the bucket
+    self-join n^2/256 — still quadratic at 10^12 vectors. bits ~ log2(n)
+    keeps candidate volume ~n * occupancy, i.e. linear in n: occupancy <= 64
+    holds through n = 64 * 2^40 ~ 7e13. The upper clamp bounds signature SQL
+    size (each plane is one fold expression) and keeps bucket ids well inside
+    BIGINT; the lower clamp keeps small collections recall-friendly.
+    """
+    if n <= 1:
+        return 8
+    return min(max(math.ceil(math.log2(n / max(target_occupancy, 1))), 8), 40)
 
 
 def _dot_spark(a: str, b: str) -> str:
@@ -96,22 +118,23 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
 """
 
 
-def lsh_buckets(spark: SparkSession) -> DataFrame:
+def lsh_buckets(spark: SparkSession, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bit j = (dot(v, plane_j) > 0).
-    Output (vec_id, bucket)."""
+    Output (vec_id, bucket). ``n_planes`` defaults to the round-2 width; at
+    scale pass ``planes_for(n)`` so occupancy stays bounded."""
     bits = " + ".join(
         f"(CASE WHEN {_plane_spark(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     )
     return spark.sql(
         f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
     )
 
 
-def lsh_buckets_oracle() -> str:
+def lsh_buckets_oracle(n_planes: int = N_PLANES) -> str:
     bits = " + ".join(
         f"(CASE WHEN {_plane_duck(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     )
     return (
         f"SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST({bits} AS BIGINT) AS bucket "
@@ -168,22 +191,27 @@ FROM pairs WHERE cos >= {threshold!r}
 
 # ---------------------------------------------------------------------------
 # Multi-probe LSH top-k (the scale path; brute cosine_topk is its small-n
-# oracle — tests/test_ann.py checks recall against it)
+# oracle — tests/test_ann_textops.py checks recall against it)
 # ---------------------------------------------------------------------------
 
 
-def _probe_list_spark(b: str) -> str:
-    """Own bucket + all 8 Hamming-distance-1 buckets (bit flips)."""
-    flips = ", ".join(f"CAST({b} ^ {1 << j} AS BIGINT)" for j in range(N_PLANES))
+def _probe_list_spark(b: str, n_planes: int = N_PLANES) -> str:
+    """Own bucket + all ``n_planes`` Hamming-distance-1 buckets (bit flips)."""
+    flips = ", ".join(f"CAST({b} ^ {1 << j} AS BIGINT)" for j in range(n_planes))
     return f"array(CAST({b} AS BIGINT), {flips})"
 
 
-def _probe_list_duck(b: str) -> str:
-    flips = ", ".join(f"CAST(xor({b}, {1 << j}) AS BIGINT)" for j in range(N_PLANES))
+def _probe_list_duck(b: str, n_planes: int = N_PLANES) -> str:
+    flips = ", ".join(f"CAST(xor({b}, {1 << j}) AS BIGINT)" for j in range(n_planes))
     return f"[CAST({b} AS BIGINT), {flips}]"
 
 
-def ann_topk_lsh(spark: SparkSession, k: int = 5, query_mod: int = 25) -> DataFrame:
+def ann_topk_lsh(
+    spark: SparkSession,
+    k: int = 5,
+    query_mod: int = 25,
+    n_planes: int | None = None,
+) -> DataFrame:
     """Approximate top-k cosine via multi-probe LSH: each query probes its
     own hyperplane bucket plus the 8 Hamming-1 buckets, then ranks the
     bucket candidates by exact cosine. Output (qid, nid, cos, rnk).
@@ -193,10 +221,18 @@ def ann_topk_lsh(spark: SparkSession, k: int = 5, query_mod: int = 25) -> DataFr
     all-pairs; the 9x probe explode is a narrow Generate on the (tiny)
     query side. The brute-force ``cosine_topk`` is the exact baseline this
     approximates (recall measured in tests at small n).
+
+    ``n_planes=None`` sizes the signature from the table's (memoized) row
+    count via ``planes_for`` — bits ~ log2(n), so expected bucket occupancy
+    (and with it per-probe candidate volume) stays bounded as n grows.
     """
-    lsh_buckets(spark).createOrReplaceTempView("_mp_buckets")
+    if n_planes is None:
+        from . import planner
+
+        n_planes = planes_for(planner.cached_count(spark.table("embeddings")))
+    lsh_buckets(spark, n_planes).createOrReplaceTempView("_mp_buckets")
     spark.sql(f"""
-SELECT vec_id AS qid, explode({_probe_list_spark('bucket')}) AS pbucket
+SELECT vec_id AS qid, explode({_probe_list_spark('bucket', n_planes)}) AS pbucket
 FROM _mp_buckets WHERE vec_id % {query_mod} = 0
 """).createOrReplaceTempView("_mp_probes")
     dot = _dot_spark("ea.embedding", "eb.embedding")
@@ -218,10 +254,12 @@ SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
 """)
 
 
-def ann_topk_lsh_oracle(k: int = 5, query_mod: int = 25) -> str:
+def ann_topk_lsh_oracle(
+    k: int = 5, query_mod: int = 25, n_planes: int = N_PLANES
+) -> str:
     bits = " + ".join(
         f"(CASE WHEN {_plane_duck(j)} > 0.0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     )
     dot = _dot_duck("ea.embedding", "eb.embedding")
     na = _dot_duck("ea.embedding", "ea.embedding")
@@ -231,7 +269,7 @@ WITH buckets AS (
   SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings
 ),
 probes AS (
-  SELECT vec_id AS qid, UNNEST({_probe_list_duck('bucket')}) AS pbucket
+  SELECT vec_id AS qid, UNNEST({_probe_list_duck('bucket', n_planes)}) AS pbucket
   FROM buckets WHERE vec_id % {query_mod} = 0
 ),
 cand AS (

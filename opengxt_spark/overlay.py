@@ -556,6 +556,191 @@ GROUP BY b.rid
     )
 
 
+def eliminate_pass(
+    rects: DataFrame, min_area: float, cell_size: float = cells.DEFAULT_CELL_SIZE
+) -> DataFrame:
+    """One FULL-LAYER elimination pass: slivers (area < min_area) merge into
+    their largest intersecting keeper (bbox union); keepers without slivers
+    and slivers without any intersecting keeper pass through unchanged.
+    Output is a rect layer again — (rid, cx, cy, hw, hh) — so passes chain.
+
+    Same cell-join plan as ``eliminate_slivers`` (the pairing is one cell
+    equi-join + one grouped reduce — k passes cost k shuffles, never O(n^2));
+    the envelope arithmetic mirrors the unrolled oracle text exactly
+    (LEAST/GREATEST over COALESCE'd absorbed extents, then (min+max)/2) so
+    doubles match bit-for-bit across engines.
+    """
+    cs = float(cell_size)
+    ma = F.lit(float(min_area))
+    base = planner.ensure_parallelism(rects).withColumn(
+        "area", F.expr("4.0 * hw * hh")
+    )
+    slivers = base.where(F.col("area") < ma)
+    keepers = base.where(F.col("area") >= ma)
+    s = cells.explode_extent_cells(
+        world.rect_corners(slivers.select(
+            F.col("rid").alias("srid"), F.col("cx").alias("scx"),
+            F.col("cy").alias("scy"), F.col("hw").alias("shw"),
+            F.col("hh").alias("shh"),
+        ).withColumns({"cx": F.col("scx"), "cy": F.col("scy"),
+                       "hw": F.col("shw"), "hh": F.col("shh")})),
+        cell_size=cs,
+    ).drop("cx", "cy", "hw", "hh", "xmin", "xmax", "ymin", "ymax")
+    k = cells.explode_extent_cells(
+        world.rect_corners(keepers), cell_size=cs
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    joined = s.join(k, on=["cell_x", "cell_y"], how="inner").where(
+        F.expr("ABS(scx - cx) <= shw + hw AND ABS(scy - cy) <= shh + hh")
+    )
+    best = (
+        joined.groupBy("srid")
+        .agg(F.min(F.struct(
+            (F.lit(0.0) - F.expr("4.0 * hw * hh")).alias("neg_area"),
+            F.col("rid"),
+            F.expr("scx - shw").alias("sxmin"),
+            F.expr("scy - shh").alias("symin"),
+            F.expr("scx + shw").alias("sxmax"),
+            F.expr("scy + shh").alias("symax"),
+        )).alias("_b"))
+        .select(
+            F.col("srid"),
+            F.col("_b.rid").alias("rid"),
+            F.col("_b.sxmin").alias("sxmin"), F.col("_b.symin").alias("symin"),
+            F.col("_b.sxmax").alias("sxmax"), F.col("_b.symax").alias("symax"),
+        )
+    )
+    env = best.groupBy("rid").agg(
+        F.min("sxmin").alias("axmin"), F.min("symin").alias("aymin"),
+        F.max("sxmax").alias("axmax"), F.max("symax").alias("aymax"),
+    )
+    merged = (
+        keepers.select("rid", "cx", "cy", "hw", "hh")
+        .join(env, on="rid", how="left")
+        .selectExpr(
+            "rid",
+            "(LEAST(cx - hw, COALESCE(axmin, cx - hw))"
+            " + GREATEST(cx + hw, COALESCE(axmax, cx + hw))) / 2.0 AS cx",
+            "(LEAST(cy - hh, COALESCE(aymin, cy - hh))"
+            " + GREATEST(cy + hh, COALESCE(aymax, cy + hh))) / 2.0 AS cy",
+            "(GREATEST(cx + hw, COALESCE(axmax, cx + hw))"
+            " - LEAST(cx - hw, COALESCE(axmin, cx - hw))) / 2.0 AS hw",
+            "(GREATEST(cy + hh, COALESCE(aymax, cy + hh))"
+            " - LEAST(cy - hh, COALESCE(aymin, cy - hh))) / 2.0 AS hh",
+        )
+    )
+    remaining = slivers.join(
+        best.select("srid").hint("SHUFFLE_HASH"),
+        on=F.col("rid") == F.col("srid"),
+        how="left_anti",
+    ).select("rid", "cx", "cy", "hw", "hh")
+    return merged.unionByName(remaining)
+
+
+def eliminate_converged(
+    rects: DataFrame,
+    min_area: float,
+    max_iter: int = 10,
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Iterate ``eliminate_pass`` to fixpoint — the reference's convergence
+    loop (EliminateOperation.java:82 re-selects slivers after each merge
+    round until none remain absorbable). A pass strictly reduces the layer
+    row count while any sliver has an intersecting keeper, so the loop ends
+    in <= initial-sliver-count passes; ``max_iter`` bounds the driver loop
+    (each iteration is one eager count — the same bounded-iteration pattern
+    as kmeans)."""
+    cur = rects.select("rid", "cx", "cy", "hw", "hh")
+    n = cur.count()
+    for _ in range(max_iter):
+        nxt = eliminate_pass(cur, min_area, cell_size).persist()
+        n2 = nxt.count()
+        if n2 == n:
+            return nxt
+        cur, n = nxt, n2
+    return cur
+
+
+def eliminate_fixed(
+    rects: DataFrame,
+    min_area: float,
+    n_pass: int,
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Exactly ``n_pass`` elimination passes (a pass over a converged layer
+    is the identity), rounded for the gate — the static-plan twin of
+    ``eliminate_converged`` whose unrolled-CTE oracle DuckDB can run."""
+    from . import joins
+
+    cur = rects.select("rid", "cx", "cy", "hw", "hh")
+    for i in range(n_pass):
+        cur = eliminate_pass(cur, min_area, cell_size)
+        if i < n_pass - 1:
+            # A pass consumes its input in four subtrees; without a
+            # materialized boundary each level re-executes the one below it
+            # ~4x (4^k recompute at depth k). Eager persist (registry's
+            # release_scratch frees it) keeps k passes at k linear jobs.
+            cur = joins._persist_scratch(cur)
+    return cur.selectExpr(
+        "rid", "ROUND(cx, 6) AS cx", "ROUND(cy, 6) AS cy",
+        "ROUND(hw, 6) AS hw", "ROUND(hh, 6) AS hh",
+    )
+
+
+def eliminate_converged_oracle(min_area: float, n_pass: int) -> str:
+    """Unrolled ``n_pass`` elimination passes as sibling CTE chains — the
+    DuckDB twin of ``eliminate_fixed`` (same join predicate, same envelope
+    arithmetic, same operation order, so doubles match exactly)."""
+    ma = dlit(float(min_area))
+    parts = ["l0 AS (SELECT rid, cx, cy, hw, hh FROM rects_customer)"]
+    for i in range(1, n_pass + 1):
+        p = i - 1
+        parts.append(f"""
+base{i} AS (SELECT rid, cx, cy, hw, hh, 4.0 * hw * hh AS area FROM l{p}),
+slv{i} AS (SELECT * FROM base{i} WHERE area < {ma}),
+kp{i} AS (SELECT * FROM base{i} WHERE area >= {ma}),
+best{i} AS (
+  SELECT srid, rid, sxmin, symin, sxmax, symax FROM (
+    SELECT s.rid AS srid, k.rid AS rid,
+           s.cx - s.hw AS sxmin, s.cy - s.hh AS symin,
+           s.cx + s.hw AS sxmax, s.cy + s.hh AS symax,
+           ROW_NUMBER() OVER (PARTITION BY s.rid
+             ORDER BY k.area DESC, k.rid ASC) AS rn
+    FROM slv{i} s JOIN kp{i} k
+      ON ABS(s.cx - k.cx) <= s.hw + k.hw AND ABS(s.cy - k.cy) <= s.hh + k.hh
+  ) WHERE rn = 1
+),
+env{i} AS (
+  SELECT rid, MIN(sxmin) AS axmin, MIN(symin) AS aymin,
+         MAX(sxmax) AS axmax, MAX(symax) AS aymax
+  FROM best{i} GROUP BY rid
+),
+l{i} AS (
+  SELECT k.rid,
+         (LEAST(k.cx - k.hw, COALESCE(e.axmin, k.cx - k.hw))
+          + GREATEST(k.cx + k.hw, COALESCE(e.axmax, k.cx + k.hw))) / 2.0 AS cx,
+         (LEAST(k.cy - k.hh, COALESCE(e.aymin, k.cy - k.hh))
+          + GREATEST(k.cy + k.hh, COALESCE(e.aymax, k.cy + k.hh))) / 2.0 AS cy,
+         (GREATEST(k.cx + k.hw, COALESCE(e.axmax, k.cx + k.hw))
+          - LEAST(k.cx - k.hw, COALESCE(e.axmin, k.cx - k.hw))) / 2.0 AS hw,
+         (GREATEST(k.cy + k.hh, COALESCE(e.aymax, k.cy + k.hh))
+          - LEAST(k.cy - k.hh, COALESCE(e.aymin, k.cy - k.hh))) / 2.0 AS hh
+  FROM kp{i} k LEFT JOIN env{i} e ON e.rid = k.rid
+  UNION ALL
+  SELECT s.rid, s.cx, s.cy, s.hw, s.hh
+  FROM slv{i} s LEFT JOIN best{i} b ON b.srid = s.rid WHERE b.srid IS NULL
+)""")
+    body = ",\n".join(parts)
+    return world.with_layers(
+        f"""
+WITH {body}
+SELECT rid, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy,
+       ROUND(hw, 6) AS hw, ROUND(hh, 6) AS hh
+FROM l{n_pass}
+""",
+        "rects_customer",
+    )
+
+
 def wind_rose(segments: DataFrame) -> DataFrame:
     """8-sector direction histogram of a segment layer (WindRoseMapProcess,
     WindroseFeatureCollection.java:53). Sector from sign/magnitude

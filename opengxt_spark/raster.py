@@ -476,6 +476,47 @@ WHERE gx.generate_series * gx.generate_series
 ZPIX_CELL = 2.0  # zonal grid resolution (see ZONAL_PIXELS_SQL_*)
 
 
+def raster_clip_extent(
+    spark: SparkSession,
+    x0: float = 200.0,
+    y0: float = 300.0,
+    x1: float = 520.0,
+    y1: float = 640.0,
+) -> DataFrame:
+    """RasterClipOperation: crop the value raster to an extent — pixels whose
+    CENTER falls inside keep their grid indices (reference crop semantics,
+    GT/gridcoverage/RasterClipOperation.java:41; the polygon-mask variant is
+    the same filter with a containment predicate, cf. zonal_stats). A clip
+    is a pure filter: at 100 TB the predicate prunes tile partitions at the
+    scan, never rewrites pixels. Output per clipped row: (iy, n_pix, sum_v,
+    ix0, ix1)."""
+    pixels = planner.ensure_parallelism(spark.sql(ZONAL_PIXELS_SQL_SPARK))
+    clipped = pixels.where(F.expr(
+        f"px >= {dlit(x0)} AND px <= {dlit(x1)} AND "
+        f"py >= {dlit(y0)} AND py <= {dlit(y1)}"
+    ))
+    return clipped.groupBy("iy").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.min("ix").cast("long").alias("ix0"),
+        F.max("ix").cast("long").alias("ix1"),
+    )
+
+
+def raster_clip_extent_oracle(
+    x0: float = 200.0, y0: float = 300.0, x1: float = 520.0, y1: float = 640.0
+) -> str:
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK})
+SELECT iy, CAST(COUNT(*) AS BIGINT) AS n_pix, CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(ix) AS BIGINT) AS ix0, CAST(MAX(ix) AS BIGINT) AS ix1
+FROM pix
+WHERE px >= {dlit(x0)} AND px <= {dlit(x1)}
+  AND py >= {dlit(y0)} AND py <= {dlit(y1)}
+GROUP BY iy
+"""
+
+
 def raster_reclass(spark: SparkSession) -> DataFrame:
     """Range-remap of the synthetic value raster into 5 classes + per-class
     pixel counts and exact sums. Output (cls, n_pix, sum_v)."""

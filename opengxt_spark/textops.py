@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 P_MOD = 1000000007
 CHAR_MULT = 31
 MINHASH_K = 16
-MINHASH_BANDS = 4  # 4 bands x 4 rows
+MINHASH_BANDS = 4  # default: 4 bands x 4 rows
+MINHASH_MAX_K = 64
 # deterministic affine hash params (a_j, b_j) for minhash
-MH_A = [2 * j + 3 for j in range(MINHASH_K)]
-MH_B = [5 * j + 7 for j in range(MINHASH_K)]
+MH_A = [2 * j + 3 for j in range(MINHASH_MAX_K)]
+MH_B = [5 * j + 7 for j in range(MINHASH_MAX_K)]
 
 STOPWORDS = ("a", "the", "of", "and", "to", "in")
 
@@ -152,50 +153,72 @@ FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= {threshold!r}
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cols_spark() -> str:
+def _minhash_cols_spark(k: int = MINHASH_K) -> str:
     cols = []
-    for j in range(MINHASH_K):
+    for j in range(k):
         cols.append(
             f"array_min(transform(codes, c -> ({MH_A[j]} * c + {MH_B[j]}) % {P_MOD})) AS mh{j}"
         )
     return ", ".join(cols)
 
 
-def _minhash_cols_duck() -> str:
+def _minhash_cols_duck(k: int = MINHASH_K) -> str:
     cols = []
-    for j in range(MINHASH_K):
+    for j in range(k):
         cols.append(
             f"list_min(list_transform(codes, c -> ({MH_A[j]} * c + {MH_B[j]}) % {P_MOD})) AS mh{j}"
         )
     return ", ".join(cols)
 
 
-def minhash_lsh_pairs(spark: SparkSession) -> DataFrame:
-    """MinHash(16) + LSH(4 bands x 4 rows) candidate pairs with the
-    estimated Jaccard = matching signature positions / 16.
+def _band_key(b: int, rows: int) -> str:
+    """Bucket key of band ``b``: its ``rows`` concatenated signature slots."""
+    mhs = ", ".join(f"mh{rows * b + i}" for i in range(rows))
+    return f"concat_ws(',', {mhs})"
 
-    Scale shape: signatures are a narrow projection; band explode shuffles
-    on (band, key4) so only same-bucket docs ever meet — the MinHash-LSH
-    dedup topology for 10^12 docs.
+
+def lsh_candidate_prob(jaccard: float, bands: int, rows: int) -> float:
+    """The banding S-curve: P(pair becomes a candidate) = 1 - (1 - j^r)^b.
+
+    (bands, rows) positions the threshold j* ~ (1/b)^(1/r): 4x4 gives
+    j* ~ 0.71 (near-dup), 8x2 gives j* ~ 0.35 (looser fuzzy dedup). Exposed
+    so callers (and tests) can size configs for a target threshold.
     """
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, bands: int = MINHASH_BANDS, rows: int = 4
+) -> DataFrame:
+    """MinHash(bands*rows) + LSH(bands x rows) candidate pairs with the
+    estimated Jaccard = matching signature positions / (bands*rows).
+
+    (bands, rows) positions the S-curve threshold (lsh_candidate_prob):
+    the default 4x4 targets near-dups (j* ~ 0.71); 8x2 catches looser
+    similarity at more candidate volume. Scale shape: signatures are a
+    narrow projection; band explode shuffles on (band, key4) so only
+    same-bucket docs ever meet — the MinHash-LSH dedup topology for 10^12
+    docs.
+    """
+    k = bands * rows
     spark.sql(
         f"SELECT doc_id, transform({shingles_spark(toks_spark())}, g -> {strhash_spark('g')}) AS codes "
         "FROM documents"
     ).createOrReplaceTempView("_codes")
     spark.sql(
-        f"SELECT doc_id, {_minhash_cols_spark()} FROM _codes WHERE size(codes) > 0"
+        f"SELECT doc_id, {_minhash_cols_spark(k)} FROM _codes WHERE size(codes) > 0"
     ).createOrReplaceTempView("_sigs")
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM _sigs"
-        for b in range(MINHASH_BANDS)
+    band_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key4 FROM _sigs"
+        for b in range(bands)
     )
-    spark.sql(bands).createOrReplaceTempView("_bands")
+    spark.sql(band_sql).createOrReplaceTempView("_bands")
     match_expr = " + ".join(
-        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(k)
     )
     return spark.sql(f"""
 SELECT did_a, did_b, ({match_expr}) AS n_match,
-       CAST(({match_expr}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+       CAST(({match_expr}) AS DOUBLE) / {k} AS est_jaccard
 FROM (
   SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
   FROM _bands x JOIN _bands y
@@ -206,13 +229,14 @@ JOIN _sigs b ON b.doc_id = did_b
 """)
 
 
-def minhash_lsh_oracle() -> str:
+def minhash_lsh_oracle(bands: int = MINHASH_BANDS, rows: int = 4) -> str:
+    k = bands * rows
     match_expr = " + ".join(
-        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(k)
     )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws(',', mh{4*b}, mh{4*b+1}, mh{4*b+2}, mh{4*b+3}) AS key4 FROM sigs"
-        for b in range(MINHASH_BANDS)
+    band_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key4 FROM sigs"
+        for b in range(bands)
     )
     return f"""
 WITH codes AS (
@@ -220,8 +244,8 @@ WITH codes AS (
          list_transform({shingles_duck('toks')}, g -> {strhash_duck('g')}) AS codes
   FROM (SELECT doc_id, {toks_duck()} AS toks FROM documents)
 ),
-sigs AS (SELECT doc_id, {_minhash_cols_duck()} FROM codes WHERE len(codes) > 0),
-bands AS ({bands}),
+sigs AS (SELECT doc_id, {_minhash_cols_duck(k)} FROM codes WHERE len(codes) > 0),
+bands AS ({band_sql}),
 cand AS (
   SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
   FROM bands x JOIN bands y
@@ -229,7 +253,7 @@ cand AS (
 )
 SELECT CAST(did_a AS BIGINT) AS did_a, CAST(did_b AS BIGINT) AS did_b,
        CAST(({match_expr}) AS INT) AS n_match,
-       CAST(({match_expr}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+       CAST(({match_expr}) AS DOUBLE) / {k} AS est_jaccard
 FROM cand JOIN sigs a ON a.doc_id = did_a JOIN sigs b ON b.doc_id = did_b
 """
 

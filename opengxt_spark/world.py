@@ -225,6 +225,9 @@ def oracle_cte(*layers: str) -> str:
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (idempotent)."""
+    from . import planner
+
+    planner.set_source_epoch(sf_dir)
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

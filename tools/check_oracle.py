@@ -63,6 +63,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,6 +75,14 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:32s} rows={len(srows):7d} (rows-only, no oracle) "
                   f"spark={t_spark:.1f}s")
+            records[name] = {
+                "rows_match": len(srows) > 0,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": None if srows else "zero rows",
+            }
             if not srows:
                 failures.append((name, "zero rows"))
             continue
@@ -93,6 +102,14 @@ def main() -> int:
             f"schema={'=' if ok_schema else f'{sorted(scols)} vs {sorted(ocols)}'} "
             f"hash {sh}/{oh} spark={t_spark:.1f}s duck={t_duck:.1f}s"
         )
+        records[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_schema,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         if status == "FAIL":
             failures.append((name, f"rows {len(srows)}/{len(orows)} hash {sh}/{oh}"))
             if ok_rows and ok_schema and not ok_hash:
@@ -101,6 +118,13 @@ def main() -> int:
                 oset = {tuple(norm_cell(v) for v in r) for r in orows}
                 print("  spark-only:", list(sset - oset)[:3])
                 print("  duck-only :", list(oset - sset)[:3])
+    out = os.environ.get("ORACLE_JSON_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {out} ({len(records)} queries)")
     if failures:
         print("FAILURES:", failures)
         return 1
