@@ -287,3 +287,156 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
   FROM cand
 ) WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k (inverted-file ANN): data-sampled centroids, argmax-cosine list
+# assignment, queries probe the nearest ``probes`` lists. The second scale
+# path the training-data brief names ("an IVF or LSH-bucketed variant") —
+# complementary to multi-probe LSH: IVF adapts its partitions to the data
+# distribution (centroids live where vectors are dense) where hyperplane
+# LSH cuts blindly.
+# ---------------------------------------------------------------------------
+
+
+def ivf_stride_for(n: int, target_centroids: int | None = None) -> int:
+    """Centroid-sampling stride for ``n`` vectors: C ~ sqrt(n) centroids
+    (FAISS's IVF sizing rule) balances assignment cost (n*C pair scores
+    against a BROADCAST centroid table) against probe candidate volume
+    (queries * probes * n/C). Centroids are the vectors whose id falls on
+    the stride — deterministic, no RNG, no training pass; the sampling is
+    the degenerate-but-standard kmeans-free IVF (centroids = data sample)."""
+    if n <= 4:
+        return 2
+    c = max(int(math.isqrt(n)), 2)
+    return max(n // c, 2)
+
+
+def ivf_assign(spark: SparkSession, stride: int) -> DataFrame:
+    """(vec_id, cid, cosc): each vector's nearest centroid by cosine, where
+    centroids are the vectors with vec_id % stride == 1. The centroid table
+    (n/stride rows) broadcasts; assignment is one codegen'd nested-loop
+    score + per-vector argmax window — linear in n, no shuffle of the big
+    side beyond the window's hash partition on vec_id."""
+    dot = _dot_spark("e.embedding", "c.cemb")
+    ne = _dot_spark("e.embedding", "e.embedding")
+    nc = _dot_spark("c.cemb", "c.cemb")
+    return spark.sql(f"""
+SELECT vec_id, cid, cosc FROM (
+  SELECT e.vec_id, c.cid,
+         {dot} / (SQRT({ne}) * SQRT({nc})) AS cosc,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot} / (SQRT({ne}) * SQRT({nc})) DESC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id % {stride} = 1) c
+) WHERE rn = 1
+""")
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    k: int = 5,
+    query_mod: int = 25,
+    stride: int | None = None,
+    probes: int = 2,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: queries score the (broadcast)
+    centroid table, keep the ``probes`` nearest lists, candidates are the
+    vectors assigned to those lists, exact cosine re-ranks to top-k.
+    Output (qid, nid, cos, rnk).
+
+    Plan shape at 10^12 vectors: assignment is a broadcast nested-loop
+    score (linear, embarrassingly parallel) + argmax window partitioned on
+    vec_id; the probe join is centroid-id equi-join — candidate volume is
+    queries * probes * (n/C) with C ~ sqrt(n) via ``ivf_stride_for``, never
+    all-pairs. ``cosine_topk`` is the exact recall baseline (pytest).
+    """
+    if stride is None:
+        from . import planner
+
+        stride = ivf_stride_for(planner.cached_count(spark.table("embeddings")))
+    ivf_assign(spark, stride).createOrReplaceTempView("_ivf_assign")
+    dotc = _dot_spark("e.embedding", "c.cemb")
+    ne = _dot_spark("e.embedding", "e.embedding")
+    nc = _dot_spark("c.cemb", "c.cemb")
+    spark.sql(f"""
+SELECT qid, cid FROM (
+  SELECT e.vec_id AS qid, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id % {stride} = 1) c
+  WHERE e.vec_id % {query_mod} = 0
+) WHERE rn <= {probes}
+""").createOrReplaceTempView("_ivf_probes")
+    dot = _dot_spark("ea.embedding", "eb.embedding")
+    na = _dot_spark("ea.embedding", "ea.embedding")
+    nb = _dot_spark("eb.embedding", "eb.embedding")
+    return spark.sql(f"""
+SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM (
+    SELECT p.qid, a.vec_id AS nid,
+           {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+    FROM _ivf_probes p
+    JOIN _ivf_assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+    JOIN embeddings ea ON ea.vec_id = p.qid
+    JOIN embeddings eb ON eb.vec_id = a.vec_id
+  )
+) WHERE rnk <= {k}
+""")
+
+
+def ann_topk_ivf_oracle(
+    k: int = 5, query_mod: int = 25, stride: int = 10, probes: int = 2
+) -> str:
+    dotc = _dot_duck("e.embedding", "c.cemb")
+    ne = _dot_duck("e.embedding", "e.embedding")
+    nc = _dot_duck("c.cemb", "c.cemb")
+    dot = _dot_duck("ea.embedding", "eb.embedding")
+    na = _dot_duck("ea.embedding", "ea.embedding")
+    nb = _dot_duck("eb.embedding", "eb.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  WHERE vec_id % {stride} = 1
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT e.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % {query_mod} = 0
+  ) WHERE rn <= {probes}
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid,
+         {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN embeddings ea ON ea.vec_id = p.qid
+  JOIN embeddings eb ON eb.vec_id = a.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {k}
+"""

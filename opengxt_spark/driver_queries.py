@@ -2089,6 +2089,18 @@ def q_ann_topk_lsh_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_lsh(spark, n_planes=12)
 
 
+@_register("ann_topk_ivf", ann.ann_topk_ivf_oracle(stride=20))
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (the brief's second ANN scale path beside LSH):
+    data-sampled centroids (vec_id % 20 == 1), broadcast argmax-cosine list
+    assignment, queries probe their 2 nearest lists, exact cosine re-rank.
+    Candidate volume is queries * probes * n/C with C ~ sqrt(n) in the
+    auto-sized path (``ivf_stride_for``); stride pinned here for oracle
+    parity. Recall vs brute ``cosine_topk`` measured in pytest."""
+    world.register_tables(spark, sf_dir)
+    return ann.ann_topk_ivf(spark, stride=20)
+
+
 # ---------------------------------------------------------------------------
 # Geometry transformer batch (transforms_geom.py)
 # ---------------------------------------------------------------------------
@@ -2320,6 +2332,29 @@ def q_csv_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CSV carries exact integer millicoordinates)."""
     world.register_tables(spark, sf_dir)
     return sources.csv_points_fixture(spark, sf_dir)
+
+
+from . import shapefile  # noqa: E402
+
+
+@_register("shp_roundtrip_points", shapefile.shp_roundtrip_points_oracle())
+def q_shp_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShapeExportOperation parity: the events point layer sharded to
+    .shp/.shx/.dbf triples (one per partition, Arrow-batched writer), read
+    back through the binaryFile + mapInPandas source. Coordinates are IEEE
+    doubles in the .shp record, so the round-trip is bit-exact against the
+    parquet-derived oracle."""
+    world.register_tables(spark, sf_dir)
+    return shapefile.shp_roundtrip_points(spark, sf_dir)
+
+
+@_register("shp_roundtrip_rects", shapefile.shp_roundtrip_rects_oracle())
+def q_shp_roundtrip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon shapefile round-trip: customer rects as one-ring clockwise
+    polygons; the reader returns the stored bbox corners (exact doubles)
+    rather than re-deriving center/half-width, which would re-round."""
+    world.register_tables(spark, sf_dir)
+    return shapefile.shp_roundtrip_rects(spark, sf_dir)
 
 
 @_register(
@@ -2931,7 +2966,8 @@ _GATE_PRIORITY = [
     # new in round 3
     "eliminate_converged", "neighbor_count_haversine",
     "nearest_join_haversine", "geodesic_buffer_points", "raster_clip_extent",
-    "ann_topk_lsh_p12", "minhash_lsh_b8r2",
+    "ann_topk_lsh_p12", "minhash_lsh_b8r2", "ann_topk_ivf",
+    "shp_roundtrip_points", "shp_roundtrip_rects",
     # overlay tail (§2.4)
     "sym_difference_rects", "identity_rects", "update_rects",
     # global statistics tail (§2.6)

@@ -1,0 +1,454 @@
+"""ESRI shapefile interchange — the reference's Shape import/export surface.
+
+Reference parity: ShapeExportOperation / shapefile DataStore reads
+(GT/storage/ShapeExportOperation.java) — the reference round-trips feature
+collections through .shp/.shx/.dbf. This module re-expresses that as a
+Spark-native sharded sink/source built from the PUBLIC format spec (ESRI
+Shapefile Technical Description, July 1998):
+
+- **Export** writes one ``part-NNNNN.{shp,shx,dbf}`` triple PER PARTITION
+  via ``mapInPandas`` (Arrow-batched, no driver collect) — the same sharding
+  contract as Spark's parquet sink, so a 100 TB layer exports as thousands
+  of independent single-pass files. The returned lineage frame (file, rows,
+  bytes) doubles as the write manifest.
+- **Import** joins ``binaryFile`` scans of the .shp and .dbf shards on
+  their shard stem and parses both in one Arrow-batched pass — each shard
+  is one task; a directory of shards parallelizes like any file scan.
+
+Fidelity: geometry coordinates are IEEE doubles in the .shp record —
+bit-exact round-trip. DBF attributes travel as fixed-width text (the
+format's own contract): exact for integers and short strings, which is what
+the synthetic layers carry.
+
+Gate queries: ``shp_roundtrip_points`` / ``shp_roundtrip_polygons`` write a
+fixture once per sf dir, read it back, and hash-compare against the
+parquet-derived oracle (bit-exact by the above).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SHP_POINT = 1
+SHP_POLYGON = 5
+
+_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Writers (format primitives — pure functions of a pandas frame)
+# ---------------------------------------------------------------------------
+
+
+def _shp_header(shape_type: int, length_bytes: int, bbox: tuple) -> bytes:
+    xmin, ymin, xmax, ymax = bbox
+    return (
+        struct.pack(">i", 9994)
+        + b"\x00" * 20
+        + struct.pack(">i", length_bytes // 2)
+        + struct.pack("<ii", 1000, shape_type)
+        + struct.pack("<4d", xmin, ymin, xmax, ymax)
+        + struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    )
+
+
+def _points_shp_bytes(x: np.ndarray, y: np.ndarray) -> tuple[bytes, bytes]:
+    """(.shp, .shx) bytes for a point shard. Record = 8-byte big-endian
+    header + (type, x, y) little-endian = 28 bytes, so the whole shard is
+    one vectorized structured-array fill."""
+    n = len(x)
+    rec = np.zeros(
+        n,
+        dtype=np.dtype(
+            [("num", ">i4"), ("clen", ">i4"), ("typ", "<i4"),
+             ("x", "<f8"), ("y", "<f8")]
+        ),
+    )
+    rec["num"] = np.arange(1, n + 1)
+    rec["clen"] = 10  # (4 + 16) bytes in 16-bit words
+    rec["typ"] = SHP_POINT
+    rec["x"] = x
+    rec["y"] = y
+    body = rec.tobytes()
+    bbox = (
+        (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+        if n
+        else (0.0, 0.0, 0.0, 0.0)
+    )
+    shp = _shp_header(SHP_POINT, 100 + len(body), bbox) + body
+    idx = np.zeros(n, dtype=np.dtype([("off", ">i4"), ("clen", ">i4")]))
+    idx["off"] = (100 + 28 * np.arange(n)) // 2
+    idx["clen"] = 10
+    shx = _shp_header(SHP_POINT, 100 + 8 * n, bbox) + idx.tobytes()
+    return shp, shx
+
+
+def _rects_shp_bytes(
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray
+) -> tuple[bytes, bytes]:
+    """(.shp, .shx) for an axis-aligned-rectangle polygon shard: one outer
+    ring, 5 closed points in clockwise order (the spec's outer-ring
+    winding). Content = type(4) + bbox(32) + numparts(4) + numpoints(4) +
+    parts(4) + 5*(16) = 128 bytes per record."""
+    n = len(xmin)
+    rec = np.zeros(
+        n,
+        dtype=np.dtype(
+            [("num", ">i4"), ("clen", ">i4"), ("typ", "<i4"),
+             ("bbox", "<f8", 4), ("nparts", "<i4"), ("npts", "<i4"),
+             ("part0", "<i4"), ("pts", "<f8", 10)]
+        ),
+    )
+    rec["num"] = np.arange(1, n + 1)
+    rec["clen"] = 128 // 2
+    rec["typ"] = SHP_POLYGON
+    rec["bbox"][:, 0] = xmin
+    rec["bbox"][:, 1] = ymin
+    rec["bbox"][:, 2] = xmax
+    rec["bbox"][:, 3] = ymax
+    rec["nparts"] = 1
+    rec["npts"] = 5
+    rec["part0"] = 0
+    # clockwise ring: (xmin,ymax) (xmax,ymax) (xmax,ymin) (xmin,ymin) close
+    pts = rec["pts"]
+    pts[:, 0], pts[:, 1] = xmin, ymax
+    pts[:, 2], pts[:, 3] = xmax, ymax
+    pts[:, 4], pts[:, 5] = xmax, ymin
+    pts[:, 6], pts[:, 7] = xmin, ymin
+    pts[:, 8], pts[:, 9] = xmin, ymax
+    body = rec.tobytes()
+    bbox = (
+        (float(xmin.min()), float(ymin.min()), float(xmax.max()), float(ymax.max()))
+        if n
+        else (0.0, 0.0, 0.0, 0.0)
+    )
+    shp = _shp_header(SHP_POLYGON, 100 + len(body), bbox) + body
+    idx = np.zeros(n, dtype=np.dtype([("off", ">i4"), ("clen", ">i4")]))
+    idx["off"] = (100 + 136 * np.arange(n)) // 2
+    idx["clen"] = 128 // 2
+    shx = _shp_header(SHP_POLYGON, 100 + 8 * n, bbox) + idx.tobytes()
+    return shp, shx
+
+
+def _dbf_bytes(pdf: pd.DataFrame, fields: list[tuple[str, str, int]]) -> bytes:
+    """dBASE III shard: fields = [(name, 'N'|'C', width)]. Integers are
+    right-justified space-padded text (exact), strings left-justified."""
+    n = len(pdf)
+    rec_size = 1 + sum(w for _, _, w in fields)
+    header = (
+        struct.pack("<BBBBIHH", 0x03, 99, 1, 1, n, 32 + 32 * len(fields) + 1, rec_size)
+        + b"\x00" * 20
+    )
+    descs = b"".join(
+        name.encode()[:10].ljust(11, b"\x00")
+        + typ.encode()
+        + b"\x00" * 4
+        + struct.pack("<BB", width, 0)
+        + b"\x00" * 14
+        for name, typ, width in fields
+    )
+    cols = []
+    for name, typ, width in fields:
+        s = pdf[name].astype(str)
+        if typ == "N":
+            b = s.str.rjust(width).str.encode("ascii")
+        else:
+            b = s.str.slice(0, width).str.ljust(width).str.encode("ascii")
+        cols.append(np.frombuffer(b"".join(b.tolist()), dtype=f"S{width}"))
+    recs = np.zeros(n, dtype=np.dtype([("del", "S1")] + [
+        (f"f{i}", f"S{w}") for i, (_, _, w) in enumerate(fields)
+    ]))
+    recs["del"] = b" "
+    for i, c in enumerate(cols):
+        recs[f"f{i}"] = c
+    return header + descs + b"\x0d" + recs.tobytes() + b"\x1a"
+
+
+# ---------------------------------------------------------------------------
+# Spark sink / source
+# ---------------------------------------------------------------------------
+
+
+def _write_shard(path: str, stem: str, shp: bytes, shx: bytes, dbf: bytes) -> int:
+    os.makedirs(path, exist_ok=True)
+    total = 0
+    for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+        with open(os.path.join(path, f"{stem}.{ext}"), "wb") as f:
+            f.write(data)
+        total += len(data)
+    return total
+
+
+def write_points_shp(df: DataFrame, path: str) -> DataFrame:
+    """Shard the point layer (pid, x, y, w, cat) to ``path`` as shapefile
+    triples, one per partition. Returns the lineage frame (file, rows,
+    bytes); collecting it performs the write."""
+
+    def shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pid = TaskContext.get().partitionId()
+        stem = f"part-{pid:05d}"
+        if pdf.empty:
+            return
+        shp, shx = _points_shp_bytes(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64)
+        )
+        dbf = _dbf_bytes(pdf, [("pid", "N", 18), ("w", "N", 18), ("cat", "C", 16)])
+        nbytes = _write_shard(path, stem, shp, shx, dbf)
+        yield pd.DataFrame(
+            {"file": [f"{stem}.shp"], "rows": [len(pdf)], "bytes": [nbytes]}
+        )
+
+    return df.select("pid", "x", "y", "w", "cat").mapInPandas(
+        shard, schema=_LINEAGE_SCHEMA
+    )
+
+
+def write_rects_shp(df: DataFrame, path: str) -> DataFrame:
+    """Shard the rect layer (rid, cx, cy, hw, hh, seg) as polygon shapefiles
+    (one clockwise outer ring per rect)."""
+
+    def shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pid = TaskContext.get().partitionId()
+        stem = f"part-{pid:05d}"
+        if pdf.empty:
+            return
+        cx = pdf["cx"].to_numpy(np.float64)
+        cy = pdf["cy"].to_numpy(np.float64)
+        hw = pdf["hw"].to_numpy(np.float64)
+        hh = pdf["hh"].to_numpy(np.float64)
+        shp, shx = _rects_shp_bytes(cx - hw, cy - hh, cx + hw, cy + hh)
+        dbf = _dbf_bytes(pdf, [("rid", "N", 18), ("seg", "C", 16)])
+        nbytes = _write_shard(path, stem, shp, shx, dbf)
+        yield pd.DataFrame(
+            {"file": [f"{stem}.shp"], "rows": [len(pdf)], "bytes": [nbytes]}
+        )
+
+    return df.select("rid", "cx", "cy", "hw", "hh", "seg").mapInPandas(
+        shard, schema=_LINEAGE_SCHEMA
+    )
+
+
+def _binary_shards(spark: SparkSession, path: str) -> DataFrame:
+    """(stem, shp, dbf) per shard — two binaryFile scans joined on the shard
+    stem; each row is one independently-parseable shard."""
+    shp = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.shp"))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.shp$", 1).alias("stem"),
+            F.col("content").alias("shp"),
+        )
+    )
+    dbf = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.dbf"))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.dbf$", 1).alias("stem"),
+            F.col("content").alias("dbf"),
+        )
+    )
+    return shp.join(dbf, on="stem", how="inner")
+
+
+def _parse_dbf(buf: bytes) -> pd.DataFrame:
+    n, hsize, rsize = struct.unpack_from("<IHH", buf, 4)
+    nfields = (hsize - 33) // 32
+    fields = []
+    for i in range(nfields):
+        off = 32 + 32 * i
+        name = buf[off : off + 11].split(b"\x00", 1)[0].decode()
+        typ = chr(buf[off + 11])
+        width = buf[off + 16]
+        fields.append((name, typ, width))
+    recs = np.frombuffer(
+        buf, dtype=np.dtype([("del", "S1")] + [
+            (f"f{i}", f"S{w}") for i, (_, _, w) in enumerate(fields)
+        ]), count=n, offset=hsize,
+    )
+    out = {}
+    for i, (name, typ, _w) in enumerate(fields):
+        col = pd.Series(recs[f"f{i}"]).str.decode("ascii")
+        if typ == "N":
+            out[name] = pd.to_numeric(col.str.strip()).astype("int64")
+        else:
+            out[name] = col.str.rstrip()
+    return pd.DataFrame(out)
+
+
+def read_points_shp(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded point-shapefile source -> (pid, x, y, w, cat)."""
+    schema = T.StructType(
+        [
+            T.StructField("pid", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("w", T.LongType()),
+            T.StructField("cat", T.StringType()),
+        ]
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                buf = bytes(row["shp"])
+                rec = np.frombuffer(
+                    buf,
+                    dtype=np.dtype(
+                        [("num", ">i4"), ("clen", ">i4"), ("typ", "<i4"),
+                         ("x", "<f8"), ("y", "<f8")]
+                    ),
+                    offset=100,
+                )
+                attrs = _parse_dbf(bytes(row["dbf"]))
+                yield pd.DataFrame(
+                    {
+                        "pid": attrs["pid"],
+                        "x": rec["x"],
+                        "y": rec["y"],
+                        "w": attrs["w"],
+                        "cat": attrs["cat"],
+                    }
+                )
+
+    return _binary_shards(spark, path).mapInPandas(parse, schema=schema)
+
+
+def read_rects_shp(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded polygon-shapefile source -> (rid, xmin, ymin, xmax, ymax,
+    seg). Corners come from the per-record bbox (stored doubles — exact);
+    center/half-width reconstruction would re-round, so consumers derive
+    what they need."""
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                buf = bytes(row["shp"])
+                rec = np.frombuffer(
+                    buf,
+                    dtype=np.dtype(
+                        [("num", ">i4"), ("clen", ">i4"), ("typ", "<i4"),
+                         ("bbox", "<f8", 4), ("nparts", "<i4"), ("npts", "<i4"),
+                         ("part0", "<i4"), ("pts", "<f8", 10)]
+                    ),
+                    offset=100,
+                )
+                attrs = _parse_dbf(bytes(row["dbf"]))
+                yield pd.DataFrame(
+                    {
+                        "rid": attrs["rid"],
+                        "xmin": rec["bbox"][:, 0],
+                        "ymin": rec["bbox"][:, 1],
+                        "xmax": rec["bbox"][:, 2],
+                        "ymax": rec["bbox"][:, 3],
+                        "seg": attrs["seg"],
+                    }
+                )
+
+    return _binary_shards(spark, path).mapInPandas(parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Gate fixtures
+# ---------------------------------------------------------------------------
+
+_FIXED: set[tuple[str, str]] = set()
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/root/repo/.scratch/shp", tag, kind)
+
+
+def points_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events point layer once per (sf, session) and return its
+    shard directory."""
+    from . import world
+
+    path = _fixture_dir(sf_dir, "points")
+    key = (path, "points")
+    if key not in _FIXED:
+        df = world.points_events(spark, sf_dir).select("pid", "x", "y", "w", "cat")
+        write_points_shp(df.repartition(8, "pid"), path).collect()
+        _FIXED.add(key)
+    return path
+
+
+def rects_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from . import world
+
+    path = _fixture_dir(sf_dir, "rects")
+    key = (path, "rects")
+    if key not in _FIXED:
+        df = world.rects_customer(spark, sf_dir).select(
+            "rid", "cx", "cy", "hw", "hh", "seg"
+        )
+        write_rects_shp(df.repartition(4, "rid"), path).collect()
+        _FIXED.add(key)
+    return path
+
+
+def shp_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = points_fixture(spark, sf_dir)
+    return read_points_shp(spark, path)
+
+
+def shp_roundtrip_points_oracle() -> str:
+    from . import world
+
+    return (
+        world.oracle_cte("points_events")
+        + "\nSELECT CAST(pid AS BIGINT) AS pid, x, y, CAST(w AS BIGINT) AS w, cat "
+        "FROM points_events"
+    )
+
+
+def shp_roundtrip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = rects_fixture(spark, sf_dir)
+    return read_rects_shp(spark, path)
+
+
+def shp_roundtrip_rects_oracle() -> str:
+    from . import world
+
+    return (
+        world.oracle_cte("rects_customer")
+        + "\nSELECT CAST(rid AS BIGINT) AS rid, cx - hw AS xmin, cy - hh AS ymin, "
+        "cx + hw AS xmax, cy + hh AS ymax, seg FROM rects_customer"
+    )

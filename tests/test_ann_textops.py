@@ -84,3 +84,45 @@ def test_minhash_configs_nest_on_candidates(spark, sf_dir):
         for r in textops.minhash_lsh_pairs(spark, bands=8, rows=2).collect()
     }
     assert tight and tight <= loose
+
+def test_ivf_stride_sizing():
+    # C ~ sqrt(n): stride = n/C grows like sqrt(n)
+    for n in (100, 10_000, 1_000_000, 10**12):
+        s = ann.ivf_stride_for(n)
+        c = n // s
+        root = math.isqrt(n)
+        assert root / 2 <= c <= 2 * root, (n, s, c)
+    assert ann.ivf_stride_for(3) == 2
+
+
+def test_ivf_assign_partitions_all_vectors(spark, sf_dir):
+    world.register_tables(spark, sf_dir)
+    rows = ann.ivf_assign(spark, stride=20).collect()
+    n = spark.table("embeddings").count()
+    assert len(rows) == n  # every vector in exactly one list
+    cids = {r["cid"] for r in rows}
+    assert all(c % 20 == 1 for c in cids)
+    # centroids belong to their own list (cos=1 is its own argmax)
+    own = {r["vec_id"]: r["cid"] for r in rows}
+    for c in cids:
+        assert own[c] == c
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF top-5 recall against the exact baseline: with C ~ n/20 lists and
+    2 probes a query sees ~10% of the collection, chosen by centroid
+    affinity — recall must beat that random-scan floor by a wide margin."""
+    world.register_tables(spark, sf_dir)
+    truth = {(r["qid"], r["nid"]) for r in ann.cosine_topk(spark, k=5).collect()}
+    got = {
+        (r["qid"], r["nid"])
+        for r in ann.ann_topk_ivf(spark, k=5, stride=20).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, recall
+
+
+def test_ivf_dynamic_stride_runs(spark, sf_dir):
+    world.register_tables(spark, sf_dir)
+    rows = ann.ann_topk_ivf(spark, k=3).collect()
+    assert rows and all(r["rnk"] <= 3 for r in rows)
