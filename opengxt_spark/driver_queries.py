@@ -2357,6 +2357,19 @@ def q_shp_roundtrip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapefile.shp_roundtrip_rects(spark, sf_dir)
 
 
+from . import geotiff  # noqa: E402
+
+
+@_register("tif_roundtrip_raster", geotiff.tif_roundtrip_oracle())
+def q_tif_roundtrip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF export/import parity (RasterExportOperation): the 500x500
+    synthetic value raster sharded to 16 uncompressed 16-bit tiles (one
+    applyInPandas task each, PixelIsPoint tiepoint + pixel scale), read
+    back through binaryFile + Arrow parse. Pixel values and reconstructed
+    world coordinates are bit-exact vs the grid-generating oracle."""
+    return geotiff.tif_roundtrip_raster(spark, sf_dir)
+
+
 @_register(
     "local_sa_binning",
     autocorr.local_sa_binning_oracle(binning.WORLD_BBOX, 40, 40),
@@ -2967,7 +2980,7 @@ _GATE_PRIORITY = [
     "eliminate_converged", "neighbor_count_haversine",
     "nearest_join_haversine", "geodesic_buffer_points", "raster_clip_extent",
     "ann_topk_lsh_p12", "minhash_lsh_b8r2", "ann_topk_ivf",
-    "shp_roundtrip_points", "shp_roundtrip_rects",
+    "shp_roundtrip_points", "shp_roundtrip_rects", "tif_roundtrip_raster",
     # overlay tail (§2.4)
     "sym_difference_rects", "identity_rects", "update_rects",
     # global statistics tail (§2.6)
