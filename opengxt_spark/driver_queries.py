@@ -2357,7 +2357,18 @@ def q_shp_roundtrip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapefile.shp_roundtrip_rects(spark, sf_dir)
 
 
-from . import geotiff  # noqa: E402
+from . import geotiff, quadkey  # noqa: E402
+
+
+@_register("quadkey_rollup", quadkey.quadkey_rollup_oracle())
+def q_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell index (the H3/S2-style piece): Morton quadkeys at
+    level 7 (128x128) with parent rollups to levels 6 and 5 computed from
+    the previous level's CELLS (qk div 4, sum) — one scan of the points,
+    then shuffles only over already-aggregated cell rows. Output
+    (level, qk, cnt, sum_w) across the three levels."""
+    world.register_tables(spark, sf_dir)
+    return quadkey.quadkey_rollup_query(spark, sf_dir)
 
 
 @_register("tif_roundtrip_raster", geotiff.tif_roundtrip_oracle())
@@ -2981,6 +2992,7 @@ _GATE_PRIORITY = [
     "nearest_join_haversine", "geodesic_buffer_points", "raster_clip_extent",
     "ann_topk_lsh_p12", "minhash_lsh_b8r2", "ann_topk_ivf",
     "shp_roundtrip_points", "shp_roundtrip_rects", "tif_roundtrip_raster",
+    "quadkey_rollup",
     # overlay tail (§2.4)
     "sym_difference_rects", "identity_rects", "update_rects",
     # global statistics tail (§2.6)

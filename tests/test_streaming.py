@@ -80,3 +80,37 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     assert len(got) == 12
     by_fp = {r["fp"]: r["doc_id"] for r in got}
     assert by_fp == {f"fp{k}": k for k in range(12)}
+
+
+def test_stream_pip_replay_equals_batch(spark, tmp_path):
+    """Stream-static spatial join: a complete replay of the point feed
+    joined to the static rect layer equals the batch pip_count_join."""
+    from opengxt_spark import joins
+
+    pts = world.points_events(spark, SF).select("pid", "x", "y", "w")
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    pts = pts.withColumn(
+        "ts",
+        F.lit(base) + F.expr("make_interval(0, 0, 0, 0, 0, 0, pid % 7)"),
+    )
+    src = str(tmp_path / "pip_src")
+    pts.where("pid % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    pts.where("pid % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    rects = world.rects_customer(spark, SF)
+    stream_df = streaming.stream_pip_count(spark, src, SCHEMA, rects)
+    streaming.run_available_now(stream_df, "pip_replay")
+    got = (
+        spark.table("pip_replay")
+        .groupBy("rid")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum_w").cast("long").alias("sum_w"),
+        )
+        .collect()
+    )
+    want = joins.pip_count_join(
+        pts.select("pid", "x", "y", "w"), rects
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
