@@ -153,21 +153,29 @@ def _adaptive_first_radius(right: DataFrame, expected: float, radius: float) -> 
     return min(max(r1, 1e-3), radius)
 
 
-def _ring_strategy(right: DataFrame, radius: float, cell_size: float) -> str:
-    """Explicit build strategy for a ring join, decided from one memoized
-    count instead of planner.choose_strategy's per-call limit-count job —
-    the ring loop issues several joins per query and each probe job adds
-    serial driver latency that caps scaling at bench sizes."""
-    n = planner.cached_count(right)
+def _ring_cells_per(radius: float, cell_size: float) -> float:
     # bbox cover (2r/cs + 1)^2 with the ~18% circle-corner prune: the
     # asymptotic 3.3(r/cs)^2 under-counts by the +1 discretization term,
     # badly when cs >~ r (estimated 1.4 cells vs an actual 5.3 at
     # r/cs = 0.65 — which silently flipped ring 1 to a near-megarow
     # driver-serial broadcast)
-    cells_per = 0.82 * (2.0 * radius / cell_size + 1.0) ** 2
+    return 0.82 * (2.0 * radius / cell_size + 1.0) ** 2
+
+
+def _ring_strategy(right: DataFrame, radius: float, cell_size: float) -> str:
+    """Explicit build strategy for a ring join, decided from one memoized
+    count instead of planner.choose_strategy's per-call limit-count job —
+    the ring loop issues several joins per query and each probe job adds
+    serial driver latency that caps scaling at bench sizes."""
+    return _ring_strategy_n(
+        planner.cached_count(right), radius, cell_size
+    )
+
+
+def _ring_strategy_n(n_build: int, radius: float, cell_size: float) -> str:
     return (
         "broadcast"
-        if n * cells_per <= RING_BROADCAST_LIMIT
+        if n_build * _ring_cells_per(radius, cell_size) <= RING_BROADCAST_LIMIT
         else "shuffle"
     )
 
@@ -668,10 +676,21 @@ def nearest_join(
     explicit_strategy = kw.pop("strategy", None)
     explicit_cell = kw.pop("cell_size", None)
 
-    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+    def _pairs(lf: DataFrame, rad: float, n_lf: int | None = None) -> DataFrame:
+        # Ring-explode the SMALLER side: a late ring's pending remainder is
+        # a few % of the layer, and exploding the full right side at the
+        # final radius was the dominant cost of the whole query (measured
+        # 3 s of a 5 s build at local[32]) — n_lf is the already-known
+        # remainder count, so the flip costs no extra job.
         cs = explicit_cell or _ring_cell_size(rad, rho)
-        strat = explicit_strategy or _ring_strategy(right, rad, cs)
-        p = distance_band_join(lf, right, rad, cell_size=cs, strategy=strat, **kw)
+        n_r = planner.cached_count(right)
+        side = "left" if (n_lf is not None and n_lf < n_r) else "right"
+        strat = explicit_strategy or _ring_strategy_n(
+            n_lf if side == "left" else n_r, rad, cs
+        )
+        p = distance_band_join(
+            lf, right, rad, cell_size=cs, strategy=strat, build=side, **kw
+        )
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -696,9 +715,10 @@ def nearest_join(
         pending = left
         budget = None
         r = r1
+        npend = None
         while True:
             final = r >= radius
-            step = _nearest_reduce(_pairs(pending, min(r, radius)))
+            step = _nearest_reduce(_pairs(pending, min(r, radius), npend))
             if final:
                 parts.append(step)
                 break
@@ -771,10 +791,17 @@ def knn_join(
     explicit_strategy = kw.pop("strategy", None)
     explicit_cell = kw.pop("cell_size", None)
 
-    def _pairs(lf: DataFrame, rad: float) -> DataFrame:
+    def _pairs(lf: DataFrame, rad: float, n_lf: int | None = None) -> DataFrame:
+        # Ring-explode the smaller side — see nearest_join._pairs.
         cs = explicit_cell or _ring_cell_size(rad, rho)
-        strat = explicit_strategy or _ring_strategy(right, rad, cs)
-        p = distance_band_join(lf, right, rad, cell_size=cs, strategy=strat, **kw)
+        n_r = planner.cached_count(right)
+        side = "left" if (n_lf is not None and n_lf < n_r) else "right"
+        strat = explicit_strategy or _ring_strategy_n(
+            n_lf if side == "left" else n_r, rad, cs
+        )
+        p = distance_band_join(
+            lf, right, rad, cell_size=cs, strategy=strat, build=side, **kw
+        )
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
@@ -831,15 +858,16 @@ def knn_join(
     pending = left
     budget = None
     r = r1
+    npend = None
     while True:
         final = r >= radius
         if final:
-            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius))))
+            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius, npend))))
             break
         # Lazy persist: the pending count materializes agg via the anti-join
         # (single consumer inside that job) — one serial job per ring, as in
         # nearest_join.
-        agg = _persist_lazy(_topk_agg(_pairs(pending, r)))
+        agg = _persist_lazy(_topk_agg(_pairs(pending, r, npend)))
         parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
         pending = _persist_scratch(
             pending.join(
