@@ -2071,12 +2071,13 @@ def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("ann_topk_lsh", ann.ann_topk_lsh_oracle())
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH approximate top-k cosine (bucket join + exact rank;
-    the scale path whose exact baseline is ann_cosine_topk). The default
-    signature width is dynamic (ann.planes_for ~ log2(n) — bounded bucket
-    occupancy as n grows); at the gate's vector counts that resolves to the
-    oracle's 8 planes."""
+    the scale path whose exact baseline is ann_cosine_topk). Pinned to the
+    oracle's N_PLANES: the dynamic planes_for(n) default stays for
+    non-gated callers, but the gate pair must agree at EVERY sf (planes_for
+    exceeds 8 past ~16k vectors, which would silently de-sync the oracle at
+    sf>=1)."""
     world.register_tables(spark, sf_dir)
-    return ann.ann_topk_lsh(spark)
+    return ann.ann_topk_lsh(spark, n_planes=ann.N_PLANES)
 
 
 @_register("ann_topk_lsh_p12", ann.ann_topk_lsh_oracle(n_planes=12))

@@ -67,17 +67,24 @@ def dezero_oracles(
     which columns need the ``+ 0.0``; non-SELECT or undescribable oracles pass
     through unchanged (the gate will surface them as before).
     """
-    cache_key = hash(tuple(sorted(oracles))) ^ hash(sf_dir)
+    # Key on the full (name, sql) items so edited SQL misses the cache.
+    cache_key = hash(tuple(sorted(oracles.items()))) ^ hash(sf_dir)
     if cache_key in _ORACLE_CACHE:
         return _ORACLE_CACHE[cache_key]
     import duckdb
 
     from . import world
 
-    con = duckdb.connect()
     d = sf_dir or DESCRIBE_SF_DIR
-    for t in world.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    try:
+        con = duckdb.connect()
+        for t in world.TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    except Exception:
+        # The DESCRIBE parquet dir is absent in this environment: fall back
+        # to the unwrapped oracles (one potentially -0.0-sensitive query is
+        # better than a broken oracle surface).
+        return dict(oracles)
     out: dict[str, str] = {}
     for name, sql in oracles.items():
         try:

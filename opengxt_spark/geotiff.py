@@ -162,8 +162,21 @@ def write_raster_tif(
         tx, ty = int(key[0]), int(key[1])
         col = (pdf["ix"] % tile).to_numpy()
         row_up = (pdf["iy"] % tile).to_numpy()  # 0 = southmost inside tile
+        v = pdf["v"].to_numpy()
+        # uint16 sample format: silent wraparound / fabricated zero-fill
+        # would corrupt the round-trip without failing it — fail loudly.
+        if len(pdf) != tile * tile:
+            raise ValueError(
+                f"tile ({tx},{ty}) has {len(pdf)} pixels, expected "
+                f"{tile * tile}: input raster is not a dense "
+                f"multiple-of-{tile} grid"
+            )
+        if v.min() < 0 or v.max() > 0xFFFF:
+            raise ValueError(
+                f"tile ({tx},{ty}) values [{v.min()},{v.max()}] exceed uint16"
+            )
         grid = np.zeros((tile, tile), dtype=np.uint16)
-        grid[tile - 1 - row_up, col] = pdf["v"].to_numpy(np.uint16)
+        grid[tile - 1 - row_up, col] = v.astype(np.uint16)
         # top-left pixel center of this tile in world coords
         x0 = (tx * tile) * sx + sx / 2.0
         y_top = (ty * tile + tile - 1) * sy + sy / 2.0
@@ -225,6 +238,11 @@ def raster_fixture(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join("/root/repo/.scratch/tif", tag)
     if path not in _FIXED:
+        import shutil
+
+        # Clear stale shards (prior run with different tiling, or a crashed
+        # write) before writing: the reader globs *.tif.
+        shutil.rmtree(path, ignore_errors=True)
         world.register_tables(spark, sf_dir)
         pixels = spark.sql(raster.ZONAL_PIXELS_SQL_SPARK)
         write_raster_tif(pixels, path).collect()

@@ -17,6 +17,8 @@ Reference parity map:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
@@ -620,6 +622,201 @@ def band_stats_join(
     )
 
 
+def _band_pairs_outer(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    cell_size: float,
+    strategy: str,
+    left_cols=("pid", "x", "y"),
+    right_cols=("pid", "x", "y"),
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Left-OUTER cell-band pair join, built for in-stage ring reductions.
+
+    Differences from ``distance_band_join`` that together remove the two
+    dominant scale costs of the iterative ring loops (measured at bench
+    scale: the groupBy(pid_l) agg re-shuffled ~19M pair structs per ring
+    and scaled 2->8 cores at only 0.63):
+
+    - **outer**: the exact-distance refine (and exclude-self) predicate is
+      part of the join condition, so every left point emits at least one
+      row — pid_r NULL when nothing is in radius. The ring reduction's
+      aggregate output therefore covers the whole pending set, and both
+      the resolved rows and the next ring's pending set are plain filters
+      over one persisted frame (no anti-join, no sentinel union).
+    - **in-stage agg**: the probe keeps its (single) cell key and is
+      explicitly hash-partitioned by it, so a following
+      groupBy(cell_x, cell_y, pid_l) — equivalent to groupBy(pid_l), since
+      a probe point has exactly one cell — satisfies the join output's
+      partitioning and aggregates with ZERO further exchange: the pair
+      stream (with its collect_list buffers) never crosses the network.
+
+    Output: (cell_x, cell_y, pid_l, lx, ly, pid_r, d2, dist); build side is
+    always the right layer.
+    """
+    lid, lx, ly = left_cols
+    rid_, rx, ry = right_cols
+    l = left.select(
+        F.col(lid).alias("pid_l"), F.col(lx).alias("lx"), F.col(ly).alias("ly")
+    )
+    r = right.select(
+        F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry")
+    )
+    nparts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    probe = cells.with_point_cells(
+        planner.ensure_parallelism(l), x="lx", y="ly", cell_size=cell_size
+    ).repartition(nparts, "cell_x", "cell_y")
+    bld = (
+        cells.explode_circle_cells(
+            planner.ensure_parallelism(r), x="rx", y="ry", radius=radius,
+            cell_size=cell_size,
+        )
+        .withColumnRenamed("cell_x", "_bcx")
+        .withColumnRenamed("cell_y", "_bcy")
+    )
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    d2 = dx * dx + dy * dy
+    cond = (
+        (F.col("cell_x") == F.col("_bcx"))
+        & (F.col("cell_y") == F.col("_bcy"))
+        & (d2 <= F.lit(float(radius) * float(radius)))
+    )
+    if exclude_self:
+        cond = cond & (F.col("pid_l") != F.col("pid_r"))
+    if strategy == "broadcast":
+        bld = F.broadcast(bld)
+    else:
+        # hash join instead of sort-merge: the build partitions are small
+        # (cells spread ~uniformly) and the probe side then joins without
+        # a sort, keeping the stage a pure pipeline into the aggregate.
+        bld = bld.hint("SHUFFLE_HASH")
+    joined = probe.join(bld, on=cond, how="left_outer")
+    return joined.select(
+        "cell_x", "cell_y", "pid_l", "lx", "ly", "pid_r",
+        d2.alias("d2"),
+        F.round(F.sqrt(d2), 6).alias("dist"),
+    )
+
+
+def _band_pairs_flip(
+    pending: DataFrame,
+    right: DataFrame,
+    radius: float,
+    cell_size: float,
+    strategy: str,
+    left_cols=("pid", "x", "y"),
+    right_cols=("pid", "x", "y"),
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Left-OUTER cell-band pair join for LATE rings: the (small) pending
+    side is ring-exploded, the right layer stays one-row-one-cell.
+
+    ``_band_pairs_outer`` explodes the full right layer — correct for ring
+    1 where the probe is the whole left layer, but ruinous for later rings:
+    at ring 2 the pending remainder is a few % of the layer while the ring
+    radius has grown, so exploding right shuffles millions of rows to serve
+    thousands of probes (measured as the round-3 regression of both ring
+    joins). Here the explode factor lands on the pending side instead; the
+    right layer is either broadcast once (≤ RING_BROADCAST_LIMIT rows —
+    no shuffle at all) or cell-shuffled WITHOUT duplication.
+
+    A (left, right) pair meets in exactly ONE cell (the right point's), so
+    no dedup is needed. Outer semantics preserve pending rows with no
+    in-radius neighbor — once per exploded cell; callers reduce with
+    NULL-skipping aggregates grouped to (pid_l), two-level: per
+    (pid_l, cell) first (in-stage on the shuffled path — the pair stream
+    never crosses the network; only ≤k-element pre-reduced lists do,
+    top-k being decomposable), then per pid_l.
+
+    Output: (cell_x, cell_y, pid_l, lx, ly, pid_r, d2).
+    """
+    lid, lx, ly = left_cols
+    rid_, rx, ry = right_cols
+    l = pending.select(
+        F.col(lid).alias("pid_l"), F.col(lx).alias("lx"), F.col(ly).alias("ly")
+    )
+    r = right.select(
+        F.col(rid_).alias("pid_r"), F.col(rx).alias("rx"), F.col(ry).alias("ry")
+    )
+    probe = cells.explode_circle_cells(
+        planner.ensure_parallelism(l), x="lx", y="ly", radius=radius,
+        cell_size=cell_size,
+    )
+    bld = (
+        cells.with_point_cells(
+            planner.ensure_parallelism(r), x="rx", y="ry", cell_size=cell_size
+        )
+        .withColumnRenamed("cell_x", "_bcx")
+        .withColumnRenamed("cell_y", "_bcy")
+    )
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    d2 = dx * dx + dy * dy
+    cond = (
+        (F.col("cell_x") == F.col("_bcx"))
+        & (F.col("cell_y") == F.col("_bcy"))
+        & (d2 <= F.lit(float(radius) * float(radius)))
+    )
+    if exclude_self:
+        cond = cond & (F.col("pid_l") != F.col("pid_r"))
+    if strategy == "broadcast":
+        bld = F.broadcast(bld)
+    else:
+        nparts = int(pending.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        probe = probe.repartition(nparts, "cell_x", "cell_y")
+        bld = bld.hint("SHUFFLE_HASH")
+    joined = probe.join(bld, on=cond, how="left_outer")
+    return joined.select(
+        "cell_x", "cell_y", "pid_l", "lx", "ly", "pid_r", d2.alias("d2")
+    )
+
+
+def _flip_strategy(n_right: int) -> str:
+    # one-cell build rows — no explode multiplier in the broadcast test
+    return "broadcast" if n_right <= RING_BROADCAST_LIMIT else "shuffle"
+
+
+def _late_ring_radius(
+    r: float, radius: float, rho: float, k: int, mult: float = 1.0
+) -> float:
+    """Late rings target a RESOLUTION lambda, not work equalization: a
+    survivor resolves once its in-radius neighbor count reaches k, so
+    pulling lambda ~ 12k per survivor already makes P(still short of k)
+    < 1e-3 even for the locally-sparse points that survive ring 1 —
+    while the work-equalized _next_ring_radius re-spends ring 1's ENTIRE
+    pair budget on the collapsed remainder, overshooting lambda 10-40x
+    (measured at bench scale: ring-2 lambda 129 for k=4 where ~48
+    resolves; 4x the pairs for zero extra resolutions). ``mult`` widens
+    the target for a second late ring (its survivors sit in even sparser
+    pockets)."""
+    if rho <= 0:
+        return radius
+    lam_t = 12.0 * max(k, 1) * mult
+    r2 = math.sqrt(lam_t / (math.pi * rho))
+    return min(radius, max(r2, 1.5 * r))
+
+
+def _poisson_lt(lam: float, k: int) -> float:
+    """P(Poisson(lam) < k) — the analytic survivor probability that sizes
+    LATE ring radii without a per-ring driver count job (the static
+    schedule: only ring 1's count is measured; later rings are small and
+    an estimate off by 2x merely unbalances a cheap stage)."""
+    import math
+
+    if lam <= 0:
+        return 1.0
+    if lam > 700:  # exp underflow; survivors ~ 0
+        return 0.0
+    term = math.exp(-lam)
+    s = 0.0
+    for i in range(int(k)):
+        s += term
+        term *= lam / (i + 1)
+    return min(max(s, 0.0), 1.0)
+
+
 def _nearest_reduce(pairs: DataFrame) -> DataFrame:
     # min(struct(d2, pid_r, ...)) orders lexicographically — exact distance
     # first, id tie-break second — and combines map-side.
@@ -695,51 +892,124 @@ def nearest_join(
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
 
+    lx, ly = kw.get("left_cols", ("pid", "x", "y"))[1:3]
+
+    lcols = kw.get("left_cols", ("pid", "x", "y"))
+    rcols = kw.get("right_cols", ("pid", "x", "y"))
+
     if r1 <= 0 or r1 >= radius:
         best = _nearest_reduce(_pairs(left, radius))
     else:
-        # Each ring's min-reduction IS the resolution decision: a point
-        # appears in the ring output iff it has an in-ring neighbor, so the
-        # persisted step result serves both the output union and the
-        # anti-join that selects the shrinking remainder. The step persist
-        # is LAZY (_persist_lazy): the pending count below materializes it
-        # as the anti-join's single-consumer build side, so each ring costs
-        # exactly ONE serial driver job. The explicit _ring_strategy avoids
-        # a per-ring planner probe job. Ring radii are work-equalized
-        # (_next_ring_radius): ring 1 expects ~3 neighbors per point; each
-        # later ring spends the same pair budget over the collapsed
-        # remainder (rows entering ring 1 = the memoized left count), so
-        # survivor probability falls doubly-exponentially and the loop ends
-        # in 2-3 rings.
+        # Ring 1 — outer join with in-stage reduction (_band_pairs_outer):
+        # every left point appears in the ring aggregate (pid_r NULL when
+        # nothing is in radius), the min-reduction runs inside the join
+        # stage (zero extra exchange), and the single persisted frame
+        # yields BOTH the resolved output (min is a real pair) and the
+        # pending set (min is NULL — coordinates ride along). ONE serial
+        # driver job total: the pending count materializes the persist and
+        # anchors the late-ring schedule.
+        #
+        # Rings 2+ — FLIPPED outer joins (_band_pairs_flip): the collapsed
+        # pending side is the one ring-exploded; the right layer stays
+        # one-row-one-cell (broadcast when small — zero shuffle). Radii are
+        # work-equalized from ring 1's measured remainder and then the
+        # ANALYTIC Poisson survivor estimate (_poisson_lt) — a static lazy
+        # schedule, no further driver jobs: ring-1's budget re-spent over
+        # the collapsing remainder makes survival fall doubly-
+        # exponentially, so ≤2 late rings before the radius cap. The cap
+        # ring flips to the inner path (every output row has a real pair).
         parts: list[DataFrame] = []
-        pending = left
-        budget = None
-        r = r1
-        npend = None
-        while True:
-            final = r >= radius
-            step = _nearest_reduce(_pairs(pending, min(r, radius), npend))
-            if final:
-                parts.append(step)
-                break
-            step = _persist_lazy(step)
-            parts.append(step)
-            pending = _persist_scratch(
-                pending.join(
-                    # SHUFFLE_HASH: broadcasting a multi-million-id set
-                    # serializes through the driver; the shuffled anti-join
-                    # stays parallel at every level.
-                    step.select("pid_l").hint("SHUFFLE_HASH"),
-                    on=F.col(lid) == F.col("pid_l"),
-                    how="left_anti",
-                )
+        cs = explicit_cell or _ring_cell_size(r1, rho)
+        strat = explicit_strategy or _ring_strategy_n(
+            planner.cached_count(right), r1, cs
+        )
+        pairs = _band_pairs_outer(
+            left, right, r1, cs, strat,
+            left_cols=lcols, right_cols=rcols,
+            exclude_self=exclude_self,
+        )
+        # min(struct) skips the NULLs the outer join emits; all-NULL
+        # groups (no in-ring neighbor) reduce to a NULL struct.
+        agg = _persist_lazy(
+            pairs.groupBy("cell_x", "cell_y", "pid_l").agg(
+                F.min(
+                    F.when(
+                        F.col("pid_r").isNotNull(),
+                        F.struct("d2", "pid_r", "dist"),
+                    )
+                ).alias("_b"),
+                F.min("lx").alias("_sx"),
+                F.min("ly").alias("_sy"),
             )
-            npend = pending._scratch_rows
-            if npend == 0:
-                break
-            if budget is None:
-                budget = max(3.0 * planner.cached_count(left), 1e6)
-            r = _next_ring_radius(r, radius, npend, rho, budget)
+        )
+        parts.append(
+            agg.where(F.col("_b").isNotNull()).select(
+                "pid_l",
+                F.col("_b.pid_r").alias("pid_r"),
+                F.col("_b.d2").alias("d2"),
+                F.col("_b.dist").alias("dist"),
+            )
+        )
+        pending = agg.where(F.col("_b").isNull()).select(
+            F.col("pid_l").alias(lid),
+            F.col("_sx").alias(lx),
+            F.col("_sy").alias(ly),
+        )
+        pcols = (lid, lx, ly)
+        npend = pending.count()  # materializes the ring-1 persist
+        if npend > 0:
+            n_est = float(npend)
+            r = _late_ring_radius(r1, radius, rho, 1)
+            for _i in range(2):
+                if r >= radius:
+                    break
+                cs = explicit_cell or _ring_cell_size(r, rho)
+                strat = explicit_strategy or _flip_strategy(
+                    planner.cached_count(right)
+                )
+                fpairs = _band_pairs_flip(
+                    pending, right, r, cs, strat,
+                    left_cols=pcols, right_cols=rcols,
+                    exclude_self=exclude_self,
+                )
+                # two-level min: per (pid_l, cell) in-stage, then per
+                # pid_l — only one tiny struct per exploded cell crosses
+                # the agg exchange, never the pair stream.
+                lvl1 = fpairs.groupBy("pid_l", "cell_x", "cell_y").agg(
+                    F.min(
+                        F.when(
+                            F.col("pid_r").isNotNull(),
+                            F.struct("d2", "pid_r"),
+                        )
+                    ).alias("_c"),
+                    F.min("lx").alias("_cx"),
+                    F.min("ly").alias("_cy"),
+                )
+                fagg = _persist_lazy(
+                    lvl1.groupBy("pid_l").agg(
+                        F.min("_c").alias("_b"),
+                        F.min("_cx").alias("_sx"),
+                        F.min("_cy").alias("_sy"),
+                    )
+                )
+                parts.append(
+                    fagg.where(F.col("_b").isNotNull()).select(
+                        "pid_l",
+                        F.col("_b.pid_r").alias("pid_r"),
+                        F.col("_b.d2").alias("d2"),
+                        F.round(F.sqrt(F.col("_b.d2")), 6).alias("dist"),
+                    )
+                )
+                pending = fagg.where(F.col("_b").isNull()).select(
+                    F.col("pid_l").alias(lid),
+                    F.col("_sx").alias(lx),
+                    F.col("_sy").alias(ly),
+                )
+                n_est = max(n_est * _poisson_lt(math.pi * rho * r * r, 1), 1.0)
+                r = _late_ring_radius(r, radius, rho, 1, 6.0 ** (_i + 1))
+            parts.append(
+                _nearest_reduce(_pairs(pending, radius, max(int(n_est), 1)))
+            )
         best = parts[0]
         for p in parts[1:]:
             best = best.unionByName(p)
@@ -810,17 +1080,12 @@ def knn_join(
         return _knn_rank(_pairs(left, radius), k)
 
     # Iterative ring expansion. Per step the top-k reduction is a HASH
-    # aggregate — sort_array(collect_list(struct(d2, pid_r, dist))) sliced
-    # to k — not a window: collect_list combines map-side and the per-group
-    # sort touches ~λ elements, so no step ever sorts the full pair table.
-    # A point whose ring already holds >= k neighbors is final (its kth
-    # neighbor is closer than the ring radius, so nothing outside can
-    # displace it); survivors continue to the next, 3x wider ring. Ring
-    # membership is decided by the CHEAP aggregated count (band_stats_join,
-    # integer partial sums, no pair materialization), so the expensive
-    # pair join + top-k agg has exactly one consumer and nothing large is
-    # persisted — only the shrinking ``pending`` id set (eagerly, see
-    # _persist_scratch).
+    # aggregate — sort_array(collect_list(struct(d2, pid_r))) sliced to k —
+    # not a window: the per-group sort touches ~λ elements, so no step ever
+    # sorts the full pair table. A point whose ring already holds >= k
+    # neighbors is final (its kth neighbor is closer than the ring radius,
+    # so nothing outside can displace it); survivors continue to the next,
+    # work-equalized wider ring.
     def _topk_agg(pairs: DataFrame) -> DataFrame:
         # struct carries only (d2, pid_r): dist is derivable (round(sqrt))
         # and the collect_list payload is the dominant allocation of the
@@ -848,43 +1113,109 @@ def knn_join(
             (F.col("_pos") + 1).cast("int").alias("rank"),
         )
 
-    # Work-equalized ring radii (_next_ring_radius, see nearest_join): ring
-    # 1 expects ~k+4 neighbors per point; each later ring re-spends the
-    # same pair budget over the collapsed remainder, so lambda multiplies
-    # by n/npend per ring and survivor probability P(Poisson(lambda) < k)
-    # falls doubly-exponentially — 2-3 rings total, never the
-    # lambda(radius-cap) over-fetch a fixed geometric growth pays.
+    # Ring schedule (see nearest_join): ring 1 is the in-stage outer join
+    # over the full left layer — one serial driver job (the pending count)
+    # total; rings 2+ are FLIPPED outer joins over the collapsed remainder
+    # with a static, analytically-sized lazy schedule; the cap ring flips
+    # to the inner path. Top-k is decomposable, so the flipped rings
+    # reduce per (pid_l, cell) in-stage first — ≤k-element pre-sliced
+    # lists cross the agg exchange, never the pair stream.
+    lx, ly = kw.get("left_cols", ("pid", "x", "y"))[1:3]
+    lcols = kw.get("left_cols", ("pid", "x", "y"))
+    rcols = kw.get("right_cols", ("pid", "x", "y"))
     parts: list[DataFrame] = []
-    pending = left
-    budget = None
-    r = r1
-    npend = None
-    while True:
-        final = r >= radius
-        if final:
-            parts.append(_explode_topk(_topk_agg(_pairs(pending, radius, npend))))
-            break
-        # Lazy persist: the pending count materializes agg via the anti-join
-        # (single consumer inside that job) — one serial job per ring, as in
-        # nearest_join.
-        agg = _persist_lazy(_topk_agg(_pairs(pending, r, npend)))
-        parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
-        pending = _persist_scratch(
-            pending.join(
-                # SHUFFLE_HASH: see the nearest_join anti-join note.
-                agg.where(F.col("_n") >= k).select("pid_l").hint("SHUFFLE_HASH"),
-                on=F.col(lid) == F.col("pid_l"),
-                how="left_anti",
-            )
+    cs = explicit_cell or _ring_cell_size(r1, rho)
+    strat = explicit_strategy or _ring_strategy_n(
+        planner.cached_count(right), r1, cs
+    )
+    pairs = _band_pairs_outer(
+        left, right, r1, cs, strat,
+        left_cols=lcols, right_cols=rcols, exclude_self=exclude_self,
+    )
+    agg = _persist_lazy(
+        pairs.groupBy("cell_x", "cell_y", "pid_l").agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        # collect_list drops NULL elements — outer rows
+                        # (no in-ring neighbor) contribute nothing.
+                        F.when(
+                            F.col("pid_r").isNotNull(),
+                            F.struct("d2", "pid_r"),
+                        )
+                    )
+                ),
+                1, k,
+            ).alias("_lst"),
+            F.count("pid_r").alias("_n"),  # non-null = real pairs
+            F.min("lx").alias("_sx"),
+            F.min("ly").alias("_sy"),
         )
-        npend = pending._scratch_rows
-        if npend == 0:
-            break
-        if budget is None:
-            # Rows entering ring 1 (memoized left count) upper-bounds the
-            # resolved+pending split the eager agg count used to provide.
-            budget = max((k + 4.0) * planner.cached_count(left), 1e6)
-        r = _next_ring_radius(r, radius, npend, rho, budget)
+    )
+    parts.append(_explode_topk(agg.where(F.col("_n") >= k)))
+    pending = agg.where(F.col("_n") < k).select(
+        F.col("pid_l").alias(lid),
+        F.col("_sx").alias(lx),
+        F.col("_sy").alias(ly),
+    )
+    pcols = (lid, lx, ly)
+    npend = pending.count()  # materializes the ring-1 persist
+    if npend > 0:
+        n_est = float(npend)
+        r = _late_ring_radius(r1, radius, rho, k)
+        for _i in range(2):
+            if r >= radius:
+                break
+            cs = explicit_cell or _ring_cell_size(r, rho)
+            strat = explicit_strategy or _flip_strategy(
+                planner.cached_count(right)
+            )
+            fpairs = _band_pairs_flip(
+                pending, right, r, cs, strat,
+                left_cols=pcols, right_cols=rcols, exclude_self=exclude_self,
+            )
+            lvl1 = fpairs.groupBy("pid_l", "cell_x", "cell_y").agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("pid_r").isNotNull(),
+                                F.struct("d2", "pid_r"),
+                            )
+                        )
+                    ),
+                    1, k,
+                ).alias("_c"),
+                F.count("pid_r").alias("_cn"),
+                F.min("lx").alias("_cx"),
+                F.min("ly").alias("_cy"),
+            )
+            fagg = _persist_lazy(
+                lvl1.groupBy("pid_l").agg(
+                    # top-k of per-cell top-k lists == global top-k; the
+                    # UNsliced per-cell counts sum to the true in-radius
+                    # neighbor count that decides resolution.
+                    F.slice(
+                        F.sort_array(F.flatten(F.collect_list("_c"))), 1, k
+                    ).alias("_lst"),
+                    F.sum("_cn").alias("_n"),
+                    F.min("_cx").alias("_sx"),
+                    F.min("_cy").alias("_sy"),
+                )
+            )
+            parts.append(_explode_topk(fagg.where(F.col("_n") >= k)))
+            pending = fagg.where(F.col("_n") < k).select(
+                F.col("pid_l").alias(lid),
+                F.col("_sx").alias(lx),
+                F.col("_sy").alias(ly),
+            )
+            n_est = max(n_est * _poisson_lt(math.pi * rho * r * r, k), 1.0)
+            r = _late_ring_radius(r, radius, rho, k, 6.0 ** (_i + 1))
+        # Stragglers at the radius cap: inner path, ring-exploding the
+        # (tiny) pending side rather than the whole right layer.
+        parts.append(
+            _explode_topk(_topk_agg(_pairs(pending, radius, max(int(n_est), 1))))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

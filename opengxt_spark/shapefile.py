@@ -396,6 +396,20 @@ def _fixture_dir(sf_dir: str, kind: str) -> str:
     return os.path.join("/root/repo/.scratch/shp", tag, kind)
 
 
+#: target rows per shapefile shard — the 2 GB .shp format cap is ~25M
+#: 80-byte point records; 250k keeps each shard well clear of it and the
+#: writer task seconds-long at any sf.
+_SHARD_ROWS = 250_000
+
+
+def _shards(spark: SparkSession, df) -> int:
+    from . import planner
+
+    n = planner.cached_count(df)
+    # floor of 4 keeps the multi-shard reader path exercised at tiny sf
+    return max(4, -(-n // _SHARD_ROWS))
+
+
 def points_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Write the events point layer once per (sf, session) and return its
     shard directory."""
@@ -404,8 +418,13 @@ def points_fixture(spark: SparkSession, sf_dir: str) -> str:
     path = _fixture_dir(sf_dir, "points")
     key = (path, "points")
     if key not in _FIXED:
+        import shutil
+
+        # Clear stale part-* shards (prior run with a different partition
+        # count, or a crashed write) — the reader globs the directory.
+        shutil.rmtree(path, ignore_errors=True)
         df = world.points_events(spark, sf_dir).select("pid", "x", "y", "w", "cat")
-        write_points_shp(df.repartition(8, "pid"), path).collect()
+        write_points_shp(df.repartition(_shards(spark, df), "pid"), path).collect()
         _FIXED.add(key)
     return path
 
@@ -416,10 +435,13 @@ def rects_fixture(spark: SparkSession, sf_dir: str) -> str:
     path = _fixture_dir(sf_dir, "rects")
     key = (path, "rects")
     if key not in _FIXED:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         df = world.rects_customer(spark, sf_dir).select(
             "rid", "cx", "cy", "hw", "hh", "seg"
         )
-        write_rects_shp(df.repartition(4, "rid"), path).collect()
+        write_rects_shp(df.repartition(_shards(spark, df), "rid"), path).collect()
         _FIXED.add(key)
     return path
 
