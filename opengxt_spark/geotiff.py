@@ -56,6 +56,16 @@ _PIXEL_SCHEMA = T.StructType(
     ]
 )
 
+_PIXEL_SCHEMA_F = T.StructType(
+    [
+        T.StructField("ix", T.LongType()),
+        T.StructField("iy", T.LongType()),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("py", T.DoubleType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
 # TIFF type codes
 _SHORT, _LONG, _DOUBLE = 3, 4, 12
 
@@ -74,12 +84,30 @@ def tile_tif_bytes(
     y_top: float,
     sx: float = 2.0,
     sy: float = 2.0,
+    compress: bool = False,
 ) -> bytes:
-    """Encode one tile (2-D uint16 array, row 0 = northmost) as a minimal
-    uncompressed GeoTIFF. ``(x0, y_top)`` is the world position of the
-    top-left pixel CENTER (PixelIsPoint)."""
+    """Encode one tile (2-D array, row 0 = northmost) as a minimal GeoTIFF.
+    ``(x0, y_top)`` is the world position of the top-left pixel CENTER
+    (PixelIsPoint). Sample type follows the array dtype: uint16 ->
+    16-bit unsigned; float32 -> 32-bit IEEE float (SampleFormat=3, the
+    reference's float-DEM case, e.g. its sfdem.tif fixture). ``compress``
+    selects Deflate (TIFF Compression=8, stdlib zlib) — bit-exact, smaller
+    shards."""
     h, w = pix.shape
-    strip = pix.astype("<u2").tobytes()
+    if pix.dtype == np.uint16:
+        bits, sfmt = 16, 1
+        strip = pix.astype("<u2").tobytes()
+    elif pix.dtype == np.float32:
+        bits, sfmt = 32, 3
+        strip = pix.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {pix.dtype}")
+    comp = 1
+    if compress:
+        import zlib
+
+        strip = zlib.compress(strip, 6)
+        comp = 8
     # GeoKeyDirectory: version 1.1.0, 2 keys — GTModelType = user-defined
     # (32767; the engine's planar world carries no EPSG code) and
     # GTRasterType = 2 (PixelIsPoint: tiepoint maps the pixel CENTER).
@@ -95,14 +123,14 @@ def tile_tif_bytes(
     entries = [
         _ifd_entry(256, _LONG, 1, w),                 # ImageWidth
         _ifd_entry(257, _LONG, 1, h),                 # ImageLength
-        _ifd_entry(258, _SHORT, 1, 16),               # BitsPerSample
-        _ifd_entry(259, _SHORT, 1, 1),                # Compression: none
+        _ifd_entry(258, _SHORT, 1, bits),             # BitsPerSample
+        _ifd_entry(259, _SHORT, 1, comp),             # Compression
         _ifd_entry(262, _SHORT, 1, 1),                # Photometric: BlackIsZero
         _ifd_entry(273, _LONG, 1, off_strip),         # StripOffsets
         _ifd_entry(277, _SHORT, 1, 1),                # SamplesPerPixel
         _ifd_entry(278, _LONG, 1, h),                 # RowsPerStrip: 1 strip
         _ifd_entry(279, _LONG, 1, len(strip)),        # StripByteCounts
-        _ifd_entry(339, _SHORT, 1, 1),                # SampleFormat: unsigned
+        _ifd_entry(339, _SHORT, 1, sfmt),             # SampleFormat
         _ifd_entry(33550, _DOUBLE, 3, off_scale),     # ModelPixelScale
         _ifd_entry(33922, _DOUBLE, 6, off_tie),       # ModelTiepoint
         _ifd_entry(34735, _SHORT, 12, off_keys),      # GeoKeyDirectory
@@ -115,9 +143,10 @@ def tile_tif_bytes(
 
 
 def parse_tif(buf: bytes) -> tuple[np.ndarray, float, float, float, float]:
-    """Decode a tile written by :func:`tile_tif_bytes` (or any uncompressed
-    single-strip 16-bit grayscale little-endian TIFF with GeoTIFF scale +
-    tiepoint). Returns (pixels[h,w], x0, y_top, sx, sy)."""
+    """Decode a tile written by :func:`tile_tif_bytes` (or any single-strip
+    grayscale little-endian TIFF — 16-bit unsigned or 32-bit IEEE float,
+    uncompressed or Deflate — with GeoTIFF scale + tiepoint).
+    Returns (pixels[h,w], x0, y_top, sx, sy)."""
     if buf[:4] != b"II\x2a\x00":
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
@@ -132,14 +161,25 @@ def parse_tif(buf: bytes) -> tuple[np.ndarray, float, float, float, float]:
         tags[tag] = (typ, count, val)
     w = tags[256][2]
     h = tags[257][2]
-    if tags.get(259, (0, 0, 1))[2] != 1:
-        raise ValueError("compressed TIFF not supported")
-    if tags.get(258, (0, 0, 16))[2] != 16:
-        raise ValueError("only 16-bit samples supported")
+    comp = tags.get(259, (0, 0, 1))[2]
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    bits = tags.get(258, (0, 0, 16))[2]
+    sfmt = tags.get(339, (0, 0, 1))[2]
+    if (bits, sfmt) == (16, 1):
+        dtype = "<u2"
+    elif (bits, sfmt) == (32, 3):
+        dtype = "<f4"
+    else:
+        raise ValueError(f"unsupported sample type bits={bits} fmt={sfmt}")
     strip_off = tags[273][2]
-    pix = np.frombuffer(buf, dtype="<u2", count=w * h, offset=strip_off).reshape(
-        h, w
-    )
+    nbytes = tags[279][2]
+    raw = buf[strip_off:strip_off + nbytes]
+    if comp == 8:
+        import zlib
+
+        raw = zlib.decompress(raw)
+    pix = np.frombuffer(raw, dtype=dtype, count=w * h).reshape(h, w)
     sx, sy, _ = struct.unpack_from("<3d", buf, tags[33550][2])
     tie = struct.unpack_from("<6d", buf, tags[33922][2])
     x0, y_top = tie[3], tie[4]
@@ -152,35 +192,49 @@ def parse_tif(buf: bytes) -> tuple[np.ndarray, float, float, float, float]:
 
 
 def write_raster_tif(
-    pixels: DataFrame, path: str, tile: int = 125, sx: float = 2.0, sy: float = 2.0
+    pixels: DataFrame,
+    path: str,
+    tile: int = 125,
+    sx: float = 2.0,
+    sy: float = 2.0,
+    dtype: str = "uint16",
+    compress: bool = False,
 ) -> DataFrame:
     """Shard a pixel frame (ix, iy, px, py, v) into ``tile x tile`` GeoTIFF
     tiles under ``path``. One applyInPandas task per tile; returns the
-    lineage manifest (file, rows, bytes)."""
+    lineage manifest (file, rows, bytes). ``dtype`` 'uint16' (integer
+    rasters) or 'float32' (DEMs); ``compress`` writes Deflate strips."""
+    if dtype not in ("uint16", "float32"):
+        raise ValueError(f"unsupported tile dtype {dtype}")
 
     def burn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         col = (pdf["ix"] % tile).to_numpy()
         row_up = (pdf["iy"] % tile).to_numpy()  # 0 = southmost inside tile
         v = pdf["v"].to_numpy()
-        # uint16 sample format: silent wraparound / fabricated zero-fill
-        # would corrupt the round-trip without failing it — fail loudly.
+        # silent wraparound / fabricated zero-fill would corrupt the
+        # round-trip without failing it — fail loudly.
         if len(pdf) != tile * tile:
             raise ValueError(
                 f"tile ({tx},{ty}) has {len(pdf)} pixels, expected "
                 f"{tile * tile}: input raster is not a dense "
                 f"multiple-of-{tile} grid"
             )
-        if v.min() < 0 or v.max() > 0xFFFF:
-            raise ValueError(
-                f"tile ({tx},{ty}) values [{v.min()},{v.max()}] exceed uint16"
-            )
-        grid = np.zeros((tile, tile), dtype=np.uint16)
-        grid[tile - 1 - row_up, col] = v.astype(np.uint16)
+        if dtype == "uint16":
+            if v.min() < 0 or v.max() > 0xFFFF:
+                raise ValueError(
+                    f"tile ({tx},{ty}) values [{v.min()},{v.max()}] "
+                    "exceed uint16"
+                )
+            grid = np.zeros((tile, tile), dtype=np.uint16)
+            grid[tile - 1 - row_up, col] = v.astype(np.uint16)
+        else:
+            grid = np.zeros((tile, tile), dtype=np.float32)
+            grid[tile - 1 - row_up, col] = v.astype(np.float32)
         # top-left pixel center of this tile in world coords
         x0 = (tx * tile) * sx + sx / 2.0
         y_top = (ty * tile + tile - 1) * sy + sy / 2.0
-        buf = tile_tif_bytes(grid, x0, y_top, sx, sy)
+        buf = tile_tif_bytes(grid, x0, y_top, sx, sy, compress=compress)
         os.makedirs(path, exist_ok=True)
         fn = f"tile-{tx:03d}-{ty:03d}.tif"
         with open(os.path.join(path, fn), "wb") as f:
@@ -193,9 +247,15 @@ def write_raster_tif(
     return g.groupBy("_tx", "_ty").applyInPandas(burn, schema=_LINEAGE_SCHEMA)
 
 
-def read_raster_tif(spark: SparkSession, path: str) -> DataFrame:
+def read_raster_tif(
+    spark: SparkSession, path: str, value_type: str = "long"
+) -> DataFrame:
     """Shard directory -> pixel frame (ix, iy, px, py, v); world coordinates
-    reconstructed from each tile's GeoTIFF scale + tiepoint."""
+    reconstructed from each tile's GeoTIFF scale + tiepoint. ``value_type``
+    'long' for integer rasters, 'double' for float DEMs (float32 samples
+    widen exactly)."""
+    schema = _PIXEL_SCHEMA if value_type == "long" else _PIXEL_SCHEMA_F
+    np_t = np.int64 if value_type == "long" else np.float64
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -213,7 +273,7 @@ def read_raster_tif(spark: SparkSession, path: str) -> DataFrame:
                         "iy": iy,
                         "px": px,
                         "py": py,
-                        "v": pix.reshape(-1).astype(np.int64),
+                        "v": pix.reshape(-1).astype(np_t),
                     }
                 )
 
@@ -221,7 +281,7 @@ def read_raster_tif(spark: SparkSession, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .load(os.path.join(path, "*.tif"))
         .select("content")
-        .mapInPandas(parse, schema=_PIXEL_SCHEMA)
+        .mapInPandas(parse, schema=schema)
     )
 
 
@@ -262,4 +322,59 @@ def tif_roundtrip_oracle() -> str:
     return (
         "SELECT CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy, px, py, "
         f"CAST(v AS BIGINT) AS v FROM ({raster.ZONAL_PIXELS_SQL_DUCK})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Float DEM fixture: float32 samples + Deflate strips (the reference's
+# sfdem.tif case — GT/storage/RasterExportOperation.java reads compressed
+# float DEMs). Elevation values are exact float32 numbers (multiples of
+# 1/8 under 1000) built from integer mods, so the round-trip is bit-exact
+# and one SQL text serves both engines.
+# ---------------------------------------------------------------------------
+
+_DEM_EXPR = (
+    "CAST(((ix * 7919 + iy * 104729) % 2000) * 0.25 "
+    "+ ((ix * ix + iy * iy) % 797) * 0.125 AS DOUBLE)"
+)
+_DEM_PIX = (
+    "SELECT ix, iy, "
+    "CAST(ix AS DOUBLE) * 2.0 + 1.0 AS px, "
+    "CAST(iy AS DOUBLE) * 2.0 + 1.0 AS py, "
+    f"{_DEM_EXPR} AS v "
+    "FROM (SELECT CAST(uid % 500 AS BIGINT) AS ix, "
+    "CAST(FLOOR(uid / 500) AS BIGINT) AS iy FROM ({src})) __g"
+)
+DEM_PIXELS_SQL_SPARK = _DEM_PIX.format(src="SELECT id AS uid FROM RANGE(250000)")
+DEM_PIXELS_SQL_DUCK = _DEM_PIX.format(
+    src="SELECT generate_series AS uid FROM generate_series(0, 249999)"
+)
+
+
+def dem_fixture(spark: SparkSession, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.scratch/tif_dem", tag)
+    if path not in _FIXED:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        pixels = spark.sql(DEM_PIXELS_SQL_SPARK)
+        write_raster_tif(
+            pixels, path, dtype="float32", compress=True
+        ).collect()
+        _FIXED.add(path)
+    return path
+
+
+def tif_roundtrip_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 500x500 synthetic float DEM through float32+Deflate GeoTIFF and
+    back — bit-exact (all elevations are exact float32 values)."""
+    path = dem_fixture(spark, sf_dir)
+    return read_raster_tif(spark, path, value_type="double")
+
+
+def tif_roundtrip_dem_oracle() -> str:
+    return (
+        "SELECT CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy, "
+        f"px, py, v FROM ({DEM_PIXELS_SQL_DUCK}) __d"
     )

@@ -113,17 +113,69 @@ class JoinPlan:
     n_salt: int = 8
 
 
+#: A cell is "hot" when it exceeds this multiple of the per-task average...
+HOT_CELL_SALT_FACTOR = 4.0
+#: ...AND this absolute floor (below it, one task absorbs the cell anyway;
+#: the floor is sized so the salting shuffle surcharge cannot exceed the
+#: straggler it removes). Gate/test callers pin a lower floor to exercise
+#: the decision at toy scale.
+HOT_CELL_MIN_ROWS = 250_000
+MAX_SALT = 32
+
+_HOTCELL_CACHE: dict[int, int] = {}
+
+
+def max_cell_rows(probe: DataFrame) -> int:
+    """Memoized size of the probe side's hottest (cell_x, cell_y) group —
+    a two-stage count job (map-side partial agg, #cells rows shuffled),
+    fired at most once per canonical plan per session."""
+    key = plan_key(probe)
+    n = _HOTCELL_CACHE.get(key)
+    if n is None:
+        row = (
+            probe.groupBy("cell_x", "cell_y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .first()
+        )
+        n = int(row["m"] or 0)
+        if len(_HOTCELL_CACHE) > 512:
+            _HOTCELL_CACHE.clear()
+        _HOTCELL_CACHE[key] = n
+    return n
+
+
 def choose_strategy(
     build: DataFrame,
     strategy: str | None = None,
     broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    probe: DataFrame | None = None,
+    hot_min: int = HOT_CELL_MIN_ROWS,
 ) -> JoinPlan:
+    """broadcast if the build side is small; else shuffle — escalated to
+    salted when a memoized top-cell pre-count on the probe side finds a
+    cell that would dominate its shuffle task (the SURVEY §4.2 "salt hot
+    cells from a pre-count" contract). n_salt is sized so the hot cell's
+    shards land near the per-task average."""
     if strategy is not None:
         return JoinPlan(strategy)
     # Cheap upper-bound count (limit stops early), memoized per canonical
     # plan so repeated builds of the same join never re-fire the probe job.
     n = cached_count(build, cap=broadcast_limit)
-    return JoinPlan("broadcast" if n <= broadcast_limit else "shuffle")
+    if n <= broadcast_limit:
+        return JoinPlan("broadcast")
+    if probe is not None:
+        import math
+
+        parts = int(
+            probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        target = max(cached_count(probe) / max(parts, 1), 1.0)
+        hot = max_cell_rows(probe)
+        if hot >= hot_min and hot > HOT_CELL_SALT_FACTOR * target:
+            n_salt = int(min(MAX_SALT, max(2, math.ceil(hot / target))))
+            return JoinPlan("salted", n_salt)
+    return JoinPlan("shuffle")
 
 
 def cell_join(
@@ -131,8 +183,10 @@ def cell_join(
     build: DataFrame,
     refine,
     strategy: str | None = None,
-    n_salt: int = 8,
+    n_salt: int | None = None,
     probe_salt_key: str | None = None,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    hot_min: int = HOT_CELL_MIN_ROWS,
 ) -> DataFrame:
     """Equi-join probe and build on (cell_x, cell_y) then apply exact refine.
 
@@ -142,8 +196,14 @@ def cell_join(
 
     Both inputs must already carry cell_x/cell_y (see cells.py). Column-name
     overlap other than the cell keys must be resolved by the caller.
+    On the shuffle path, ``choose_strategy`` auto-escalates to salted when
+    the probe's memoized top-cell pre-count crosses the hot-cell threshold;
+    ``n_salt`` (when given) overrides the plan's auto-sized salt width.
     """
-    plan = choose_strategy(build, strategy)
+    plan = choose_strategy(
+        build, strategy, broadcast_limit=broadcast_limit, probe=probe,
+        hot_min=hot_min,
+    )
     if isinstance(refine, str):
         refine = F.expr(refine)
 
@@ -153,6 +213,7 @@ def cell_join(
         ).where(refine)
 
     if plan.strategy == "salted":
+        n_salt = n_salt or plan.n_salt
         key = probe_salt_key or probe.columns[0]
         salted_probe = probe.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salt)).cast("int")

@@ -101,20 +101,41 @@ def gen_pixels(okey: int, w: int, h: int) -> np.ndarray:
     return ((okey * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
-def with_bytes(meta: DataFrame) -> DataFrame:
-    """Attach the raw-RGB ``bytes`` column (Arrow-batched numpy generator).
+def with_bytes(meta: DataFrame, fmt: str = "rgb8") -> DataFrame:
+    """Attach the ``bytes`` column (Arrow-batched numpy generator).
 
-    fmt='rgb8' is a real raw encoding (w*h*3 uint8). Lossy formats (jpeg,
+    fmt='rgb8' is the raw encoding (w*h*3 uint8); fmt='dct' runs the
+    pure-numpy lossy transform codec (see ``dctcodec``) — a genuinely
+    lossy path for the PSNR>=40dB contract. External wire formats (jpeg,
     webp) would need codec libs absent from this container — decode_image
     raises NotImplementedError for them, per the stubbing contract.
     """
-    schema = T.StructType(meta.schema.fields + [T.StructField("bytes", T.BinaryType())])
+    from . import dctcodec
+
+    fields = [
+        f if f.name != "fmt" else T.StructField("fmt", T.StringType())
+        for f in meta.schema.fields
+    ]
+    schema = T.StructType(fields + [T.StructField("bytes", T.BinaryType())])
+    enc = (
+        (lambda a: a.tobytes())
+        if fmt == "rgb8"
+        else dctcodec.encode
+        if fmt == "dct"
+        else None
+    )
+    if enc is None:
+        raise NotImplementedError(
+            f"encoder '{fmt}' requires an image library not present in this "
+            "container"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            pdf["fmt"] = fmt
             pdf["bytes"] = [
-                gen_pixels(int(k), int(w_), int(h_)).tobytes()
+                enc(gen_pixels(int(k), int(w_), int(h_)))
                 for k, w_, h_ in zip(pdf["okey"], pdf["w"], pdf["h"])
             ]
             yield pdf
@@ -128,14 +149,25 @@ def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bytes(images_meta(spark, sf_dir))
 
 
+def images_table_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same table with fmt='dct' lossy-coded bytes — the PSNR>=40dB
+    contract's input (tests assert 40 <= PSNR < inf per row)."""
+    return with_bytes(images_meta(spark, sf_dir), fmt="dct")
+
+
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode a ``bytes`` payload to an (h, w, 3) uint8 array.
 
-    rgb8 is real; compressed formats are stubbed — the Spark-side plumbing
-    (schema, batching, tile burn) is identical for any decoder."""
+    rgb8 (raw) and dct (pure-numpy lossy transform codec) are real;
+    external wire formats are stubbed — the Spark-side plumbing (schema,
+    batching, tile burn) is identical for any decoder."""
     if fmt == "rgb8":
         arr = np.frombuffer(data, dtype=np.uint8)
         return arr.reshape(h, w, 3)
+    if fmt == "dct":
+        from . import dctcodec
+
+        return dctcodec.decode(bytes(data))
     raise NotImplementedError(
         f"codec '{fmt}' requires an image library not present in this "
         "container; plug a decoder into decode_image"

@@ -385,6 +385,133 @@ def read_rects_shp(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# General (multi-ring) polygons: arbitrary parts per record — the variable-
+# length record layout of the spec (type + bbox + numparts + numpoints +
+# part offsets + xy points). Closes VERDICT r3 narrowing #4: the fixed-
+# layout rect path above never exercised NumParts > 1.
+# ---------------------------------------------------------------------------
+
+
+def _polys_shp_bytes(geoms: list[list[np.ndarray]]) -> tuple[bytes, bytes]:
+    """(.shp, .shx) for general polygons. ``geoms[i]`` is a list of rings,
+    each an (n_k, 2) float64 array, first ring outer (clockwise), later
+    rings holes (counter-clockwise), each ring closed."""
+    recs, idx = [], []
+    off = 100
+    gx0 = gy0 = np.inf
+    gx1 = gy1 = -np.inf
+    for i, rings in enumerate(geoms):
+        pts = np.concatenate(rings, axis=0)
+        parts = np.cumsum([0] + [len(r) for r in rings[:-1]]).astype("<i4")
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        gx0, gy0 = min(gx0, x0), min(gy0, y0)
+        gx1, gy1 = max(gx1, x1), max(gy1, y1)
+        content = (
+            struct.pack("<i4d", SHP_POLYGON, x0, y0, x1, y1)
+            + struct.pack("<ii", len(rings), len(pts))
+            + parts.tobytes()
+            + pts.astype("<f8").tobytes()
+        )
+        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+        idx.append(struct.pack(">ii", off // 2, len(content) // 2))
+        off += 8 + len(content)
+    body = b"".join(recs)
+    bbox = (
+        (float(gx0), float(gy0), float(gx1), float(gy1))
+        if geoms
+        else (0.0, 0.0, 0.0, 0.0)
+    )
+    shp = _shp_header(SHP_POLYGON, 100 + len(body), bbox) + body
+    shx = _shp_header(SHP_POLYGON, 100 + 8 * len(geoms), bbox) + b"".join(idx)
+    return shp, shx
+
+
+def write_polys_shp(df: DataFrame, path: str) -> DataFrame:
+    """Shard a general polygon layer (gid BIGINT, rings
+    array<array<array<double>>> — rings[r][k] = [x, y]) as multi-ring
+    polygon shapefiles; one shard per partition, gid in the .dbf."""
+
+    def shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        pid = TaskContext.get().partitionId()
+        stem = f"part-{pid:05d}"
+        geoms = [
+            [np.asarray([list(pt) for pt in ring], dtype=np.float64)
+             for ring in rings]
+            for rings in pdf["rings"]
+        ]
+        shp, shx = _polys_shp_bytes(geoms)
+        dbf = _dbf_bytes(pdf, [("gid", "N", 18)])
+        nbytes = _write_shard(path, stem, shp, shx, dbf)
+        yield pd.DataFrame(
+            {"file": [f"{stem}.shp"], "rows": [len(pdf)], "bytes": [nbytes]}
+        )
+
+    return df.select("gid", "rings").mapInPandas(shard, schema=_LINEAGE_SCHEMA)
+
+
+def read_polys_shp(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded multi-ring polygon source -> flattened vertex frame
+    (gid, ring, seq, x, y): one row per vertex, ring/seq giving the part
+    index and the vertex position within it."""
+    schema = T.StructType(
+        [
+            T.StructField("gid", T.LongType()),
+            T.StructField("ring", T.IntegerType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                buf = bytes(row["shp"])
+                gids = _parse_dbf(bytes(row["dbf"]))["gid"].to_numpy(np.int64)
+                out_g, out_r, out_s, out_x, out_y = [], [], [], [], []
+                off, i = 100, 0
+                while off < len(buf):
+                    (clen,) = struct.unpack_from(">i", buf, off + 4)
+                    c = off + 8
+                    nparts, npts = struct.unpack_from("<ii", buf, c + 36)
+                    parts = np.frombuffer(buf, "<i4", nparts, c + 44)
+                    pts = np.frombuffer(
+                        buf, "<f8", npts * 2, c + 44 + 4 * nparts
+                    ).reshape(npts, 2)
+                    ends = np.append(parts[1:], npts)
+                    for r, (p0, p1) in enumerate(zip(parts, ends)):
+                        k = p1 - p0
+                        out_g.append(np.full(k, gids[i]))
+                        out_r.append(np.full(k, r, dtype=np.int32))
+                        out_s.append(np.arange(k, dtype=np.int32))
+                        out_x.append(pts[p0:p1, 0])
+                        out_y.append(pts[p0:p1, 1])
+                    off += 8 + clen * 2
+                    i += 1
+                if out_g:
+                    yield pd.DataFrame(
+                        {
+                            "gid": np.concatenate(out_g),
+                            "ring": np.concatenate(out_r),
+                            "seq": np.concatenate(out_s),
+                            "x": np.concatenate(out_x),
+                            "y": np.concatenate(out_y),
+                        }
+                    )
+
+    return _binary_shards(spark, path).mapInPandas(parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # Gate fixtures
 # ---------------------------------------------------------------------------
 
@@ -473,4 +600,69 @@ def shp_roundtrip_rects_oracle() -> str:
         world.oracle_cte("rects_customer")
         + "\nSELECT CAST(rid AS BIGINT) AS rid, cx - hw AS xmin, cy - hh AS ymin, "
         "cx + hw AS xmax, cy + hh AS ymax, seg FROM rects_customer"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Donut (multi-ring) fixture: each customer rect becomes a polygon with a
+# clockwise outer ring and a counter-clockwise half-size hole — exercising
+# NumParts=2 records end to end.
+# ---------------------------------------------------------------------------
+
+DONUT_RINGS_SQL = """
+SELECT rid AS gid, array(
+  array(array(cx - hw, cy + hh), array(cx + hw, cy + hh),
+        array(cx + hw, cy - hh), array(cx - hw, cy - hh),
+        array(cx - hw, cy + hh)),
+  array(array(cx - hw * 0.5, cy + hh * 0.5), array(cx - hw * 0.5, cy - hh * 0.5),
+        array(cx + hw * 0.5, cy - hh * 0.5), array(cx + hw * 0.5, cy + hh * 0.5),
+        array(cx - hw * 0.5, cy + hh * 0.5))
+) AS rings FROM rects_customer
+"""
+
+
+def donuts_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from . import world
+
+    path = _fixture_dir(sf_dir, "donuts")
+    key = (path, "donuts")
+    if key not in _FIXED:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        world.register_layers(spark, sf_dir)
+        df = spark.sql(DONUT_RINGS_SQL)
+        write_polys_shp(df.repartition(_shards(spark, df), "gid"), path).collect()
+        _FIXED.add(key)
+    return path
+
+
+def shp_roundtrip_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring polygons through the shapefile sink and back, flattened
+    to one row per vertex — bit-exact (stored f8 doubles)."""
+    path = donuts_fixture(spark, sf_dir)
+    return read_polys_shp(spark, path)
+
+
+def shp_roundtrip_donuts_oracle() -> str:
+    from . import world
+
+    verts = ", ".join(
+        f"({ring}, {seq}, CAST({ax} AS DOUBLE), CAST({ay} AS DOUBLE))"
+        for ring, seq, ax, ay in [
+            (0, 0, -1.0, 1.0), (0, 1, 1.0, 1.0), (0, 2, 1.0, -1.0),
+            (0, 3, -1.0, -1.0), (0, 4, -1.0, 1.0),
+            (1, 0, -0.5, 0.5), (1, 1, -0.5, -0.5), (1, 2, 0.5, -0.5),
+            (1, 3, 0.5, 0.5), (1, 4, -0.5, 0.5),
+        ]
+    )
+    return (
+        world.oracle_cte("rects_customer")
+        + f"""
+SELECT CAST(r.rid AS BIGINT) AS gid, CAST(v.ring AS INT) AS ring,
+       CAST(v.seq AS INT) AS seq,
+       r.cx + v.ax * r.hw AS x, r.cy + v.ay * r.hh AS y
+FROM rects_customer r
+CROSS JOIN (VALUES {verts}) AS v(ring, seq, ax, ay)
+"""
     )

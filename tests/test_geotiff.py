@@ -48,3 +48,40 @@ def test_raster_roundtrip_bit_exact(spark, sf_dir, tmp_path):
     diff1 = pixels.exceptAll(back).count()
     diff2 = back.exceptAll(pixels.select("ix", "iy", "px", "py", "v")).count()
     assert (diff1, diff2) == (0, 0)
+
+
+def test_float32_deflate_tile_codec():
+    """Codec-level: float32 + Deflate tile round-trips bit-exact and is
+    actually smaller than the raw strip; mixed-type guards reject."""
+    import numpy as np
+    import pytest
+
+    grid = (np.arange(64 * 64, dtype=np.float32).reshape(64, 64) * 0.125
+            + 7.25)
+    buf = geotiff.tile_tif_bytes(grid, 1.0, 127.0, 2.0, 2.0, compress=True)
+    assert len(buf) < grid.nbytes  # Deflate actually compressed
+    pix, x0, y_top, sx, sy = geotiff.parse_tif(buf)
+    assert pix.dtype == np.dtype("<f4")
+    assert np.array_equal(pix, grid)
+    assert (x0, y_top, sx, sy) == (1.0, 127.0, 2.0, 2.0)
+    # uncompressed float32 also parses
+    buf2 = geotiff.tile_tif_bytes(grid, 0.0, 0.0)
+    assert np.array_equal(geotiff.parse_tif(buf2)[0], grid)
+    with pytest.raises(ValueError):
+        geotiff.tile_tif_bytes(grid.astype(np.float64), 0.0, 0.0)
+
+
+def test_dem_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    pixels = spark.sql(geotiff.DEM_PIXELS_SQL_SPARK)
+    path = str(tmp_path / "dem")
+    lineage = geotiff.write_raster_tif(
+        pixels, path, dtype="float32", compress=True
+    ).collect()
+    assert len(lineage) == 16
+    raw_tile_bytes = 125 * 125 * 4
+    assert all(r["bytes"] < raw_tile_bytes + 400 for r in lineage)
+    back = geotiff.read_raster_tif(spark, path, value_type="double")
+    assert back.count() == 250_000
+    diff1 = pixels.exceptAll(back).count()
+    diff2 = back.exceptAll(pixels.select("ix", "iy", "px", "py", "v")).count()
+    assert (diff1, diff2) == (0, 0)

@@ -99,14 +99,23 @@ def test_convex_hull_contains_all_points(pts):
     hx, hy = convex_hull(xs, ys)
     if len(hx) < 3:
         return  # degenerate (collinear) input
-    # every input point inside or on the hull (tolerance via tiny dilation)
-    cx, cy = float(np.mean(hx)), float(np.mean(hy))
-    gx = cx + (hx - cx) * (1 + 1e-9) + np.sign(hx - cx) * 1e-7
-    gy = cy + (hy - cy) * (1 + 1e-9) + np.sign(hy - cy) * 1e-7
+    # every input point inside or within eps of the hull boundary: for a CCW
+    # convex polygon, inside-with-tolerance means every edge's cross product
+    # is >= -eps * |edge| (perpendicular distance to the edge line >= -eps).
+    # This is robust for sliver hulls where centroid dilation is anisotropic.
+    scale = max(1.0, float(np.max(np.abs(hx))), float(np.max(np.abs(hy))))
+    eps = 1e-9 * scale + 1e-12
+    nv = len(hx)
     for x, y in pts:
-        assert point_in_polygon(x, y, gx, gy) or any(
-            math.hypot(x - a, y - b) < 1e-6 for a, b in zip(hx, hy)
-        )
+        ok = True
+        for i in range(nv):
+            ax, ay = hx[i], hy[i]
+            bx, by = hx[(i + 1) % nv], hy[(i + 1) % nv]
+            cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+            if cross < -eps * max(math.hypot(bx - ax, by - ay), 1e-300):
+                ok = False
+                break
+        assert ok, (x, y, list(zip(hx, hy)))
 
 
 @settings(max_examples=30, deadline=None)

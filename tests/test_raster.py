@@ -36,6 +36,65 @@ def test_caption_equality_through_pipeline(spark, sf_dir):
         assert t.caption.endswith(str(okey))
 
 
+def test_lossy_decode_psnr_contract(spark, sf_dir):
+    """The BASELINE per-row invariant against a GENUINELY lossy codec:
+    every fmt='dct' row decodes with 40 dB <= PSNR < inf — high fidelity,
+    but measurably not bit-exact (the contract had never executed against
+    an actually-lossy path before round 4)."""
+    rows = raster.images_table_lossy(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.fmt == "dct"
+        decoded = raster.decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        expected = raster.gen_pixels(r.okey, r.w, r.h)
+        assert decoded.shape == (r.h, r.w, 3)
+        p = raster.psnr(decoded, expected)
+        assert 40.0 <= p < math.inf, (r.okey, p)
+        assert not np.array_equal(decoded, expected)
+
+
+def test_dct_codec_numpy_roundtrip():
+    """Codec-level invariants, no Spark: header round-trip, odd shapes,
+    grayscale, monotone-quality PSNR, and bad-magic rejection."""
+    from opengxt_spark import dctcodec
+
+    rng_img = raster.gen_pixels(424242, 37, 21)
+    prev = 0.0
+    for q in (80, 90, 96):
+        dec = dctcodec.decode(dctcodec.encode(rng_img, q))
+        assert dec.shape == rng_img.shape
+        p = raster.psnr(rng_img, dec)
+        assert p > prev  # higher quality -> strictly better reconstruction
+        prev = p
+    gray = rng_img[:, :, 0]
+    dg = dctcodec.decode(dctcodec.encode(gray))
+    assert dg.shape == (21, 37, 1)
+    with pytest.raises(ValueError):
+        dctcodec.decode(b"JUNK" + b"\x00" * 32)
+
+
+def test_lossy_tile_assignment_matches_lossless(spark, sf_dir):
+    """Tile ASSIGNMENT (which tiles, how many pixels) is invariant to the
+    codec; tile luminance sums agree to within the 40 dB error budget."""
+    lossless = {
+        (t.tx, t.ty): (t.npix, t.sum_lum)
+        for t in raster.rasterize_tiles(raster.images_table(spark, sf_dir)).collect()
+    }
+    lossy = {
+        (t.tx, t.ty): (t.npix, t.sum_lum)
+        for t in raster.rasterize_tiles(
+            raster.images_table_lossy(spark, sf_dir)
+        ).collect()
+    }
+    assert set(lossless) == set(lossy)
+    for key, (npix, sl) in lossless.items():
+        npix2, sl2 = lossy[key]
+        assert npix == npix2
+        # mean abs pixel error at 40 dB is ~2.55/255; npix-summed luminance
+        # stays within a few units per pixel
+        assert abs(sl - sl2) <= 4.0 * max(npix, 1), (key, sl, sl2)
+
+
 def test_decode_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
         raster.decode_image(b"\x00" * 12, 2, 2, "jpeg")

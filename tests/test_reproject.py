@@ -1,0 +1,100 @@
+"""CRS reprojection (transverse Mercator / UTM) invariants.
+
+Cross-validation strategy: the engine uses the Snyder PP-1395 series in
+engine-shared SQL; the test reimplements UTM independently with the KRUGER
+series (different derivation, different code path, stdlib math) — two
+independent formulations agreeing to sub-mm is strong evidence both are
+right. Plus the exact anchors (equator/central-meridian) and the 1e-8-deg
+round-trip bound the gate query contracts."""
+
+from __future__ import annotations
+
+import math
+
+from opengxt_spark import reproject as rp
+from opengxt_spark import world
+
+
+def _kruger_fwd(lat: float, lon: float, lon0: float) -> tuple[float, float]:
+    """Independent UTM forward: Kruger series (Karney 2011, public)."""
+    a, f, k0, fe = 6378137.0, 1 / 298.257223563, 0.9996, 500000.0
+    e = math.sqrt(f * (2 - f))
+    n = f / (2 - f)
+    big_a = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    al = [n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16,
+          13 * n**2 / 48 - 3 * n**3 / 5,
+          61 * n**3 / 240]
+    phi = math.radians(lat)
+    lam = math.radians(lon - lon0)
+    t = math.sinh(math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi)))
+    xip = math.atan2(t, math.cos(lam))
+    etap = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+    xi = xip + sum(al[j] * math.sin(2 * (j + 1) * xip)
+                   * math.cosh(2 * (j + 1) * etap) for j in range(3))
+    eta = etap + sum(al[j] * math.cos(2 * (j + 1) * xip)
+                     * math.sinh(2 * (j + 1) * etap) for j in range(3))
+    return fe + k0 * big_a * eta, k0 * big_a * xi
+
+
+def test_forward_matches_independent_kruger(spark):
+    pts = [(-73.5, 40.5, -75.0), (3.2, 0.01, 3.0), (151.2, -33.8, 153.0),
+           (-0.1, 78.9, -3.0), (177.0, -79.5, 177.0)]
+    vals = " UNION ALL ".join(
+        f"SELECT {i} AS pid, CAST({lo} AS DOUBLE) AS lon, "
+        f"CAST({la} AS DOUBLE) AS lat, CAST({l0} AS DOUBLE) AS lon0, "
+        f"CAST(0.0 AS DOUBLE) AS fn"
+        for i, (lo, la, l0) in enumerate(pts)
+    )
+    rows = spark.sql(
+        rp._staged(vals, rp.tm_forward_stages(), "pid, easting, northing")
+    ).collect()
+    for r in sorted(rows, key=lambda r: r.pid):
+        lo, la, l0 = pts[r.pid]
+        e_ref, n_ref = _kruger_fwd(la, lo, l0)
+        assert abs(r.easting - e_ref) < 1e-3, (r.pid, r.easting, e_ref)
+        assert abs(r.northing - n_ref) < 1e-3, (r.pid, r.northing, n_ref)
+
+
+def test_equator_central_meridian_exact(spark):
+    src = ("SELECT CAST(3.0 AS DOUBLE) AS lon, CAST(0.0 AS DOUBLE) AS lat, "
+           "CAST(3.0 AS DOUBLE) AS lon0, CAST(0.0 AS DOUBLE) AS fn")
+    r = spark.sql(
+        rp._staged(src, rp.tm_forward_stages(), "easting, northing")
+    ).first()
+    assert r.easting == 500000.0
+    assert r.northing == 0.0
+
+
+def test_gate_roundtrip_recovers_source(spark, sf_dir):
+    """Every point's recovered lon/lat is within 1e-7 deg (~1.1 cm) of the
+    source — the gate query's rt_ok threshold contract."""
+    world.register_tables(spark, sf_dir)
+    rows = spark.sql(
+        rp.utm_roundtrip_sql(world.LAYER_SQL["points_part"])
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.rt_ok, (r.pid, r.lon1, r.lat1)
+
+
+def test_reproject_dataframe_api(spark):
+    """reproject() round-trips a fixed-zone frame and preserves the other
+    columns; unsupported pairs raise."""
+    import pytest
+
+    df = spark.sql(
+        "SELECT id AS pid, CAST(150.0 + id * 0.1 AS DOUBLE) AS x, "
+        "CAST(-35.0 + id * 0.05 AS DOUBLE) AS y FROM RANGE(20)"
+    )
+    utm = rp.reproject(df, 4326, 32756, x="x", y="y")  # zone 56 south
+    assert set(utm.columns) == {"pid", "x", "y"}
+    back = rp.reproject(utm, 32756, 4326, x="x", y="y")
+    for orig, rec in zip(
+        df.orderBy("pid").collect(), back.orderBy("pid").collect()
+    ):
+        assert orig.pid == rec.pid
+        assert abs(orig.x - rec.x) < 1e-8
+        assert abs(orig.y - rec.y) < 1e-8
+    with pytest.raises(ValueError):
+        rp.reproject(df, 32756, 32757)
+    assert rp.reproject(df, 4326, 4326) is df

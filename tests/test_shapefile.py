@@ -89,3 +89,61 @@ def test_rects_roundtrip_corners_exact(spark, sf_dir, tmp_path):
     }
     got = {tuple(r) for r in back.collect()}
     assert exp == got
+
+
+def test_multi_ring_polygon_roundtrip_bytes():
+    """Format-level: variable-length records with NumParts in {1,2,3}
+    round-trip exactly through _polys_shp_bytes + the reader's record walk."""
+    import struct
+
+    import numpy as np
+
+    from opengxt_spark import shapefile as S
+
+    g0 = [np.array([[0.0, 4.0], [4.0, 4.0], [4.0, 0.0], [0.0, 0.0],
+                    [0.0, 4.0]])]
+    g1 = [np.array([[10.0, 20.0], [20.0, 20.0], [20.0, 10.0], [10.0, 10.0],
+                    [10.0, 20.0]]),
+          np.array([[12.0, 18.0], [12.0, 12.0], [18.0, 12.0], [18.0, 18.0],
+                    [12.0, 18.0]])]
+    g2 = [np.array([[0.0, 100.0], [100.0, 100.0], [50.0, 0.0], [0.0, 100.0]]),
+          np.array([[10.0, 80.0], [20.0, 80.0], [15.0, 70.0], [10.0, 80.0]]),
+          np.array([[60.0, 80.0], [70.0, 80.0], [65.0, 70.0], [60.0, 80.0]])]
+    shp, shx = S._polys_shp_bytes([g0, g1, g2])
+    # walk the records back
+    off, geoms = 100, []
+    while off < len(shp):
+        (clen,) = struct.unpack_from(">i", shp, off + 4)
+        c = off + 8
+        nparts, npts = struct.unpack_from("<ii", shp, c + 36)
+        parts = np.frombuffer(shp, "<i4", nparts, c + 44)
+        pts = np.frombuffer(shp, "<f8", npts * 2, c + 44 + 4 * nparts)
+        pts = pts.reshape(npts, 2)
+        ends = np.append(parts[1:], npts)
+        geoms.append([pts[p0:p1] for p0, p1 in zip(parts, ends)])
+        off += 8 + clen * 2
+    assert len(geoms) == 3
+    for orig, back in zip([g0, g1, g2], geoms):
+        assert len(orig) == len(back)
+        for ro, rb in zip(orig, back):
+            assert np.array_equal(ro, rb)
+    # shx record count
+    assert (len(shx) - 100) // 8 == 3
+
+
+def test_donut_roundtrip_spark(spark, sf_dir):
+    """Spark sink/source: every donut comes back with 2 rings x 5 vertices
+    and the hole strictly inside the outer ring."""
+    from opengxt_spark import shapefile as S
+
+    flat = S.shp_roundtrip_donuts(spark, sf_dir)
+    pdf = flat.toPandas()
+    n_polys = pdf["gid"].nunique()
+    assert len(pdf) == n_polys * 10
+    per = pdf.groupby(["gid", "ring"]).size()
+    assert (per == 5).all()
+    for gid, g in pdf.groupby("gid"):
+        outer = g[g.ring == 0]
+        inner = g[g.ring == 1]
+        assert inner.x.min() > outer.x.min() and inner.x.max() < outer.x.max()
+        assert inner.y.min() > outer.y.min() and inner.y.max() < outer.y.max()

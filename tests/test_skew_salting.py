@@ -69,3 +69,58 @@ def test_salted_spreads_hot_cell(spark):
     )
     # one cell, 8 salts -> 8 buckets
     assert n_buckets == 8
+
+
+def test_auto_salt_fires_on_hot_cell(spark):
+    """choose_strategy escalates shuffle -> salted from its own memoized
+    top-cell pre-count (no caller-forced strategy), sizes n_salt from the
+    hot-cell / per-task ratio, and stays on plain shuffle when the probe
+    is uniform or the cell is under the floor."""
+    pts = cells.with_point_cells(_skewed_points(spark))   # one hot cell
+    big_build = cells.with_point_cells(
+        spark.range(10_000).selectExpr(
+            "id AS rid", "CAST(id % 997 AS DOUBLE) AS x",
+            "CAST(id % 991 AS DOUBLE) AS y",
+        )
+    )
+    plan = planner.choose_strategy(
+        big_build, broadcast_limit=0, probe=pts, hot_min=1000
+    )
+    assert plan.strategy == "salted"
+    assert 2 <= plan.n_salt <= planner.MAX_SALT
+
+    # under the absolute floor: same shape, no salt
+    plan2 = planner.choose_strategy(
+        big_build, broadcast_limit=0, probe=pts, hot_min=100_000
+    )
+    assert plan2.strategy == "shuffle"
+
+    # uniform probe: no hot cell, no salt
+    uniform = cells.with_point_cells(
+        spark.range(5000).selectExpr(
+            "id AS pid", "CAST((id * 37) % 1000 AS DOUBLE) AS x",
+            "CAST((id * 61) % 1000 AS DOUBLE) AS y",
+        )
+    )
+    plan3 = planner.choose_strategy(
+        big_build, broadcast_limit=0, probe=uniform, hot_min=1000
+    )
+    assert plan3.strategy == "shuffle"
+
+    # small build still broadcasts regardless of skew
+    plan4 = planner.choose_strategy(big_build, probe=pts, hot_min=1000)
+    assert plan4.strategy == "broadcast"
+
+
+def test_auto_salt_plan_and_result(spark):
+    """End-to-end through cell_join: the auto-salted plan carries the salt
+    key and returns the same rows as the plain shuffle join."""
+    pts = _skewed_points(spark)
+    rects = _rects_over_hot_cell(spark)
+    auto = joins.pip_count_join(
+        pts, rects, broadcast_limit=0, hot_min=1000
+    )
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    plain = joins.pip_count_join(pts, rects, strategy="shuffle").collect()
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain))
