@@ -392,10 +392,12 @@ def median_center(points: DataFrame, iterations: int = 20) -> tuple[float, float
     row = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my")).collect()[0]
     mx, my = float(row.mx), float(row.my)
     for _ in range(iterations):
+        # dx*dx + dy*dy (not **2 -> pow()): keeps every op IEEE
+        # correctly-rounded so the unrolled DuckDB oracle CTE reproduces
+        # the iterate to ~1e-14 (only SUM combine order differs).
+        dx, dy = F.col("x") - mx, F.col("y") - my
         agg = pts.select(
-            (F.lit(1.0) / F.sqrt(
-                (F.col("x") - mx) ** 2 + (F.col("y") - my) ** 2 + F.lit(1e-12)
-            )).alias("invd"),
+            (F.lit(1.0) / F.sqrt(dx * dx + dy * dy + F.lit(1e-12))).alias("invd"),
             "x",
             "y",
         ).agg(

@@ -673,6 +673,18 @@ def q_minhash_lsh_b8r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.minhash_lsh_pairs(spark, bands=8, rows=2)
 
 
+@_register("neardup_clusters", textops.neardup_clusters_oracle())
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment — the deliverable a near-dup pipeline
+    actually ships: connected components over the MinHash-LSH(8x2)
+    candidate graph (integer n_match >= 8 edge threshold), cluster id =
+    min doc_id in the component, keep = canonical representative.
+    Spark: min-label propagation to fixpoint (rounds = component
+    diameter); oracle: transitive closure by recursive CTE."""
+    world.register_tables(spark, sf_dir)
+    return textops.neardup_clusters(spark)
+
+
 @_register("simhash_docs", textops.simhash_oracle())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash over token hashes."""
@@ -1784,6 +1796,21 @@ def q_utm_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "merc_roundtrip_points",
+    reproject.merc_roundtrip_sql(world.LAYER_SQL["points_part"]),
+)
+def q_merc_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web Mercator (EPSG:3857) forward + inverse over the part points:
+    mm-quantized x (exact multiplication parity), km-band y (absorbs
+    sub-ulp libm LN differences), rt_ok round-trip threshold. The other
+    half of the practical CRS pair set beside UTM."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(
+        reproject.merc_roundtrip_sql(world.LAYER_SQL["points_part"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cartographic derivations: OD flow map + polar grid
 # ---------------------------------------------------------------------------
@@ -2332,6 +2359,52 @@ def q_min_rotated_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms_geom.min_rotated_rects(world.points_events(spark, sf_dir))
 
 
+_MRR_RECTS_ORACLE = f"""
+{world.oracle_cte('rects_customer')}
+SELECT rid,
+       CAST(FLOOR(4.0 * hw * hh * 1000000.0 + 0.5) AS BIGINT) AS area_um2,
+       TRUE AS mrr_ok
+FROM rects_customer
+"""
+
+
+@_register("min_rotated_rect_rects", _MRR_RECTS_ORACLE)
+def q_min_rotated_rect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotating-calipers kernel against a CLOSED-FORM answer: each customer
+    rect's 4 corners are rotated by a per-rid angle, the caliper recovers
+    the minimum rotated rectangle — which for a rectangle is itself — and
+    the query emits the closed-form area (um^2-quantized, exact in both
+    engines) plus mrr_ok comparing caliper area/sides to 2hw x 2hh. The
+    oracle predicts mrr_ok = TRUE for every rid, so a caliper regression
+    turns the gate red; complements the rows-only per-category events
+    variant whose optimum has no closed form."""
+    rects = world.rects_customer(spark, sf_dir)
+    corners = rects.selectExpr(
+        "rid", "cx", "cy", "hw", "hh",
+        "CAST(rid % 157 AS DOUBLE) * 0.02 AS th",
+    ).selectExpr(
+        "rid", "cx", "cy", "hw", "hh", "th",
+        "stack(4, -1.0D, -1.0D, 1.0D, -1.0D, 1.0D, 1.0D, -1.0D, 1.0D) "
+        "AS (ux, uy)",
+    ).selectExpr(
+        "CAST(rid AS STRING) AS cat",
+        "cx + ux * hw * COS(th) - uy * hh * SIN(th) AS x",
+        "cy + ux * hw * SIN(th) + uy * hh * COS(th) AS y",
+    )
+    mrr = transforms_geom.min_rotated_rects(corners, "cat")
+    return mrr.join(
+        rects.selectExpr("CAST(rid AS STRING) AS cat", "rid", "hw", "hh"),
+        "cat",
+    ).selectExpr(
+        "rid",
+        "CAST(FLOOR(4.0 * hw * hh * 1000000.0 + 0.5) AS BIGINT) AS area_um2",
+        "(ABS(mrr_area - 4.0 * hw * hh) < 0.001 AND "
+        "ABS(LEAST(mrr_w, mrr_h) - 2.0 * LEAST(hw, hh)) < 0.0001 AND "
+        "ABS(GREATEST(mrr_w, mrr_h) - 2.0 * GREATEST(hw, hh)) < 0.0001) "
+        "AS mrr_ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Focal surface completeness + density/interpolation tail (raster.py)
 # ---------------------------------------------------------------------------
@@ -2719,13 +2792,84 @@ def q_polygonize_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("simplify_dp")
+def _dp_argmax_lateral() -> str:
+    """LATERAL argmax body shared by the recursive step and the split
+    counter: the farthest interior vertex of interval (sp.s, sp.e) by
+    perpendicular distance to the chord LINE — the exact arithmetic of
+    geomlib.douglas_peucker (same IEEE op order, first-index tie-break
+    via ORDER BY d DESC, idx ASC), so decisions match numpy bit-for-bit."""
+    num = ("(be.xe - bs.xs0) * (be.xe - bs.xs0) "
+           "+ (be.ye - bs.ys0) * (be.ye - bs.ys0)")
+    return f"""
+LATERAL (
+  SELECT p.idx AS k,
+         CASE WHEN SQRT({num}) = 0.0
+              THEN SQRT((p.x - bs.xs0) * (p.x - bs.xs0)
+                        + (p.y - bs.ys0) * (p.y - bs.ys0))
+              ELSE ABS((be.ye - bs.ys0) * p.x - (be.xe - bs.xs0) * p.y
+                       + be.xe * bs.ys0 - be.ye * bs.xs0) / SQRT({num})
+         END AS d
+  FROM dp_pts p,
+       (SELECT x AS xs0, y AS ys0 FROM dp_pts
+        WHERE cat = sp.cat AND idx = sp.s) bs,
+       (SELECT x AS xe, y AS ye FROM dp_pts
+        WHERE cat = sp.cat AND idx = sp.e) be
+  WHERE p.cat = sp.cat AND p.idx > sp.s AND p.idx < sp.e
+  ORDER BY d DESC, p.idx ASC LIMIT 1
+)"""
+
+
+_SIMPLIFY_DP_ORACLE = f"""
+WITH RECURSIVE points_events AS ({{events}}),
+dp_pts AS (
+  SELECT CAST(pid % 8 AS VARCHAR) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY pid % 8 ORDER BY pid) - 1 AS idx,
+         x, y
+  FROM points_events
+),
+dp_ends AS (
+  SELECT cat, MIN(idx) AS s, MAX(idx) AS e FROM dp_pts GROUP BY cat
+),
+seg(cat, s, e) AS (
+  SELECT cat, s, e FROM dp_ends WHERE e > s + 1
+  UNION ALL
+  SELECT u.cat, u.ns, u.ne FROM (
+    SELECT sp.cat,
+           CASE WHEN side.v = 0 THEN sp.s ELSE b.k END AS ns,
+           CASE WHEN side.v = 0 THEN b.k ELSE sp.e END AS ne
+    FROM seg sp, {{lateral}} b, (VALUES (0), (1)) side(v)
+    WHERE b.d > 15.0
+  ) u
+  WHERE u.ne > u.ns + 1
+),
+dp_splits AS (
+  SELECT sp.cat, b.k FROM seg sp, {{lateral}} b WHERE b.d > 15.0
+),
+dp_counts AS (SELECT cat, COUNT(*) AS n_in FROM dp_pts GROUP BY cat)
+SELECT c.cat,
+       CAST(c.n_in AS BIGINT) AS n_in,
+       CAST(CASE WHEN c.n_in < 3 THEN c.n_in
+                 ELSE 2 + COALESCE(s.n, 0) END AS BIGINT) AS n_kept
+FROM dp_counts c
+LEFT JOIN (SELECT cat, COUNT(*) AS n FROM dp_splits GROUP BY cat) s
+       USING (cat)
+"""
+
+
+@_register(
+    "simplify_dp",
+    _SIMPLIFY_DP_ORACLE.format(
+        events=world.LAYER_SQL["points_events"], lateral=_dp_argmax_lateral()
+    ),
+)
 def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimplifyProcess (Douglas-Peucker, GT/transformation/
     SimplifyFeatureCollection.java): per-category polyline (events ordered
-    by pid) simplified at tolerance 15; rows-only gate — DP kept-vertex
-    selection is not SQL-expressible; kernel optimality is
-    Hypothesis-tested in tests/test_geomlib.py."""
+    by pid) simplified at tolerance 15. Oracle: the DP recursion as a
+    DuckDB recursive CTE — intervals split at the LATERAL-argmax farthest
+    vertex while its chord distance exceeds tol; n_kept = 2 + #splits.
+    The kernel uses only IEEE correctly-rounded ops (sqrt form, not
+    hypot) so both engines take identical split decisions."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2756,12 +2900,35 @@ def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("cat").applyInPandas(per_cat, schema=schema)
 
 
-@_register("median_center")
+def _median_center_oracle(iterations: int = 20) -> str:
+    """Weiszfeld unrolled as ``iterations`` chained CTEs (the
+    eliminate_converged fixpoint-oracle pattern): i0 = centroid, each
+    i(k) = inverse-distance-weighted mean against i(k-1). Same IEEE
+    arithmetic as distribution.median_center; only the SUM combine order
+    differs (~1e-14 relative), far inside the 4-decimal quantization."""
+    steps = ["i0 AS (SELECT AVG(x) AS mx, AVG(y) AS my FROM points_events)"]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"i{k} AS (SELECT SUM(x * invd) / SUM(invd) AS mx, "
+            f"SUM(y * invd) / SUM(invd) AS my FROM ("
+            f"SELECT x, y, 1.0 / SQRT((x - mx) * (x - mx) "
+            f"+ (y - my) * (y - my) + 1e-12) AS invd "
+            f"FROM points_events, i{k - 1}) __d{k})"
+        )
+    return (
+        f"{world.oracle_cte('points_events')},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT ROUND(mx, 4) AS mx, ROUND(my, 4) AS my FROM i{iterations}"
+    )
+
+
+@_register("median_center", _median_center_oracle())
 def q_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedianCenterProcess (Weiszfeld, GT/distribution/MedianCenter.java:36):
-    20 driver-looped 1-row aggregates over the cached layer; rows-only gate
-    (double reduction order differs across engines) — convergence invariant
-    in tests/test_autocorr.py."""
+    20 driver-looped 1-row aggregates over the cached layer. Oracle: the
+    same 20 iterations unrolled as chained DuckDB CTEs — identical IEEE
+    arithmetic per step, so the 4-decimal-rounded center matches;
+    convergence invariant in tests/test_autocorr.py."""
     mx, my = distribution.median_center(world.points_events(spark, sf_dir))
     return spark.createDataFrame(
         [(round(mx, 4), round(my, 4))], "mx double, my double"

@@ -113,9 +113,13 @@ def douglas_peucker(
         if e <= s + 1:
             continue
         dx, dy = xs[e] - xs[s], ys[e] - ys[s]
-        seg = np.hypot(dx, dy)
+        # sqrt(dx*dx + dy*dy), not hypot: IEEE *,+,sqrt are correctly
+        # rounded, so this exact form is reproducible in engine SQL
+        # (the simplify_dp DuckDB oracle mirrors it bit-for-bit).
+        seg = np.sqrt(dx * dx + dy * dy)
         if seg == 0:
-            d = np.hypot(xs[s + 1 : e] - xs[s], ys[s + 1 : e] - ys[s])
+            ex, ey = xs[s + 1 : e] - xs[s], ys[s + 1 : e] - ys[s]
+            d = np.sqrt(ex * ex + ey * ey)
         else:
             d = np.abs(
                 dy * xs[s + 1 : e] - dx * ys[s + 1 : e] + xs[e] * ys[s] - ys[e] * xs[s]

@@ -188,6 +188,45 @@ def tm_inverse_stages() -> list[dict[str, str]]:
 
 
 # ---------------------------------------------------------------------------
+# Web Mercator (EPSG:3857) — spherical, closed form both directions
+# ---------------------------------------------------------------------------
+
+R_MERC = 6378137.0  # EPSG:3857 sphere radius (= WGS84 semi-major)
+
+
+def merc_forward_stages() -> list[dict[str, str]]:
+    """(mx, my) metres from (lon, lat) degrees. x is a single exact
+    multiplication; y uses the atanh form R/2 * ln((1+sin)/(1-sin)) with
+    native SIN — y is already engine-libm through LN, which the gate
+    absorbs with quantization bands, so a polynomial sine would buy no
+    parity while its ~1e-13 error is amplified by R/(1-sin^2) ~ 2e8 near
+    the poles (1e-4 m at lat 79); native trig keeps y accurate to ~1e-8 m
+    at every latitude."""
+    return [
+        {"phim": f"(lat * {dlit(D2R)})"},
+        {"sm": "SIN(phim)"},
+        {
+            "mx": f"(lon * {dlit(D2R * R_MERC)})",
+            "my": f"({dlit(0.5 * R_MERC)} * LN((1.0 + sm) / (1.0 - sm)))",
+        },
+    ]
+
+
+def merc_inverse_stages() -> list[dict[str, str]]:
+    """(lon, lat) degrees from (mx, my) metres: the Gudermannian
+    lat = 2*atan(exp(y/R)) - pi/2."""
+    return [
+        {
+            "lon": f"(mx / {dlit(D2R * R_MERC)})",
+            "lat": (
+                f"((2.0 * ATAN(EXP(my / {dlit(R_MERC)})) "
+                f"- {dlit(math.pi / 2.0)}) / {dlit(D2R)})"
+            ),
+        },
+    ]
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry + DataFrame API
 # ---------------------------------------------------------------------------
 
@@ -211,10 +250,11 @@ def reproject(
 ) -> DataFrame:
     """Reproject columns (x, y) of ``df`` from ``from_epsg`` to ``to_epsg``.
 
-    Supported pairs: 4326 -> UTM zone (326xx/327xx), UTM zone -> 4326, and
-    the identity. For 4326 the x column is longitude, y latitude; for UTM,
-    easting/northing metres. Other EPSG pairs raise ValueError — the
-    registry is deliberately explicit, not a silent passthrough.
+    Supported pairs: 4326 <-> UTM zone (326xx/327xx), 4326 <-> Web
+    Mercator (3857), and the identity. For 4326 the x column is longitude,
+    y latitude; for the projected systems, metres. Other EPSG pairs raise
+    ValueError — the registry is deliberately explicit, not a silent
+    passthrough.
     """
     if from_epsg == to_epsg:
         return df
@@ -222,6 +262,14 @@ def reproject(
     df.createOrReplaceTempView("_reproj_src")
     keep = [c for c in df.columns if c not in (x, y)]
     keep_sql = (", ".join(f"`{c}`" for c in keep) + ", ") if keep else ""
+    if from_epsg == 4326 and to_epsg == 3857:
+        src = f"SELECT {keep_sql}`{x}` AS lon, `{y}` AS lat FROM _reproj_src"
+        final = f"{keep_sql}mx AS `{x}`, my AS `{y}`"
+        return spark.sql(_staged(src, merc_forward_stages(), final))
+    if from_epsg == 3857 and to_epsg == 4326:
+        src = f"SELECT {keep_sql}`{x}` AS mx, `{y}` AS my FROM _reproj_src"
+        final = f"{keep_sql}lon AS `{x}`, lat AS `{y}`"
+        return spark.sql(_staged(src, merc_inverse_stages(), final))
     if from_epsg == 4326:
         lon0, fn = _utm_zone(to_epsg)
         src = (
@@ -240,7 +288,7 @@ def reproject(
         return spark.sql(_staged(src, tm_inverse_stages(), final))
     raise ValueError(
         f"unsupported reprojection EPSG:{from_epsg} -> EPSG:{to_epsg}; "
-        "one side must be 4326 and the other a UTM zone"
+        "one side must be 4326 and the other a UTM zone or 3857"
     )
 
 
@@ -270,6 +318,36 @@ def utm_forward_sql(layer_sql: str) -> str:
         _geo_src_sql(layer_sql),
         tm_forward_stages(),
         "pid, zone, ROUND(easting, 3) AS easting, ROUND(northing, 3) AS northing",
+    )
+
+
+def merc_roundtrip_sql(layer_sql: str) -> str:
+    """Web Mercator forward + inverse over the part-point layer. Emits
+    per point: mm-quantized x (pure multiplication — bit-exact parity),
+    km-band y (absorbs the engines' sub-ulp LN difference: a flip would
+    need my within ~4e-9 m of a km boundary), and rt_ok — the round-trip
+    recovered lon/lat within 1e-9 deg (actual error ~1e-14, margin 1e5)."""
+    fwd = _staged(
+        f"SELECT pid, {_LON_LAT_SRC(layer_sql)}",
+        merc_forward_stages(),
+        "pid, lon AS lon_src, lat AS lat_src, mx, my",
+    )
+    return _staged(
+        fwd,
+        merc_inverse_stages(),
+        "pid, CAST(FLOOR(mx * 1000.0 + 0.5) AS BIGINT) AS x_mm, "
+        "CAST(FLOOR(my / 1000.0) AS BIGINT) AS y_km, "
+        "(ABS(lon - lon_src) < 0.000000001 AND "
+        "ABS(lat - lat_src) < 0.000000001) AS rt_ok",
+    )
+
+
+def _LON_LAT_SRC(layer_sql: str) -> str:
+    from .geo import LAT_SQL, LON_SQL
+
+    return (
+        f"{LON_SQL} AS lon, {LAT_SQL} AS lat "
+        f"FROM ({layer_sql}) __w"
     )
 
 

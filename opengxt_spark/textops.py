@@ -452,3 +452,116 @@ SELECT CAST(did_a AS BIGINT) AS did_a, CAST(did_b AS BIGINT) AS did_b,
        CAST(inter AS DOUBLE) / uni AS jac
 FROM ref WHERE CAST(inter AS DOUBLE) / uni >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    spark: SparkSession,
+    bands: int = 8,
+    rows: int = 2,
+    min_match: int = 8,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Per-document dedup cluster id: connected components of the MinHash-LSH
+    candidate graph (edges = pairs with >= min_match of bands*rows matching
+    signature positions — an INTEGER threshold, so edge membership is exact
+    on both engines), cluster id = min doc_id in the component, and
+    keep = (doc_id == cluster id) — the canonical-representative flag a
+    dedup pipeline feeds to its filter stage.
+
+    Algorithm: iterative min-label propagation to fixpoint. Each round is
+    one symmetric-edge join + min-aggregate + one driver-side convergence
+    count (the eliminate_converged loop shape). Rounds needed = component
+    diameter, which for near-dup clusters is small (dups of a common
+    source meet in <= 2 hops); a 10^12-doc run with adversarial chain
+    topology would swap this loop for path-doubling (label <- label of
+    label) at log2(diameter) rounds — same per-round plan, noted here so
+    the scale path is explicit.
+    """
+    from . import joins as _joins
+
+    k = bands * rows
+    pairs = minhash_lsh_pairs(spark, bands=bands, rows=rows).where(
+        f"n_match >= {min_match}"
+    )
+    edges = _joins._persist_scratch(
+        pairs.selectExpr("did_a AS src", "did_b AS dst")
+        .unionAll(pairs.selectExpr("did_b AS src", "did_a AS dst"))
+    )
+    lbl = _joins._persist_scratch(
+        spark.table("documents").selectExpr(
+            "CAST(doc_id AS BIGINT) AS did", "CAST(doc_id AS BIGINT) AS lbl"
+        )
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(lbl, edges.src == lbl.did)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        nxt = _joins._persist_scratch(
+            lbl.join(nbr, lbl.did == nbr.dst, "left").selectExpr(
+                "did", "LEAST(lbl, COALESCE(nlbl, lbl)) AS lbl"
+            )
+        )
+        changed = (
+            nxt.alias("n")
+            .join(lbl.alias("o"), "did")
+            .where("n.lbl != o.lbl")
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            break
+    return lbl.selectExpr(
+        "did", "lbl AS cluster", "(did = lbl) AS keep"
+    )
+
+
+def neardup_clusters_oracle(
+    bands: int = 8, rows: int = 2, min_match: int = 8
+) -> str:
+    """Transitive closure by recursive CTE (UNION-distinct bounds cycles):
+    reach(a, b) = b reachable from a; cluster = MIN(reach)."""
+    k = bands * rows
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    band_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key4 FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE codes AS (
+  SELECT doc_id,
+         list_transform({shingles_duck('toks')}, g -> {strhash_duck('g')}) AS codes
+  FROM (SELECT doc_id, {toks_duck()} AS toks FROM documents)
+),
+sigs AS (SELECT doc_id, {_minhash_cols_duck(k)} FROM codes WHERE len(codes) > 0),
+bands AS ({band_sql}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS did_a, y.doc_id AS did_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key4 = y.key4 AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT did_a, did_b FROM cand
+  JOIN sigs a ON a.doc_id = did_a JOIN sigs b ON b.doc_id = did_b
+  WHERE ({match_expr}) >= {min_match}
+),
+sym AS (
+  SELECT did_a AS src, did_b AS dst FROM edges
+  UNION ALL SELECT did_b, did_a FROM edges
+),
+reach(a, b) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.a, CAST(s.dst AS BIGINT) FROM reach r JOIN sym s ON s.src = r.b
+)
+SELECT a AS did, MIN(b) AS cluster, (a = MIN(b)) AS keep
+FROM reach GROUP BY a
+"""

@@ -161,3 +161,32 @@ def test_ivf_two_level_agrees_with_brute(spark, sf_dir):
     assert len(two) == n and set(two) == set(brute)
     agree = sum(1 for v, c in two.items() if brute[v] == c) / n
     assert agree >= 0.5, agree
+
+
+def test_neardup_clusters_invariants(spark, sf_dir):
+    """Connected-component contract: labels are component minima — every
+    edge's two endpoints share a cluster, each cluster's id is its own
+    minimum member, keep marks exactly one doc per cluster, and every
+    document is labeled."""
+    from opengxt_spark import textops
+
+    world.register_tables(spark, sf_dir)
+    out = {r["did"]: (r["cluster"], r["keep"])
+           for r in textops.neardup_clusters(spark).collect()}
+    n_docs = spark.table("documents").count()
+    assert len(out) == n_docs
+    edges = [
+        (r["did_a"], r["did_b"])
+        for r in textops.minhash_lsh_pairs(spark, bands=8, rows=2)
+        .where("n_match >= 8").collect()
+    ]
+    assert edges, "fixture should produce a non-trivial candidate graph"
+    for a, b in edges:
+        assert out[a][0] == out[b][0], (a, b, out[a], out[b])
+    clusters = {}
+    for did, (cl, keep) in out.items():
+        clusters.setdefault(cl, []).append((did, keep))
+    for cl, members in clusters.items():
+        assert cl == min(d for d, _ in members)
+        assert sum(1 for _, k in members if k) == 1
+        assert dict(members)[cl] is True or dict(members)[cl] == True  # noqa: E712

@@ -77,6 +77,53 @@ def test_gate_roundtrip_recovers_source(spark, sf_dir):
         assert r.rt_ok, (r.pid, r.lon1, r.lat1)
 
 
+def test_merc_forward_matches_independent(spark):
+    """Engine Mercator vs the independent tan-form y = R ln tan(pi/4+phi/2)
+    (different formula path than the engine's atanh form), plus the
+    canonical anchor x(180 deg) = 20037508.3427892."""
+    pts = [(-73.5, 40.5), (3.2, 0.01), (151.2, -33.8), (-0.1, 78.9),
+           (180.0, 0.0), (177.0, -79.5)]
+    vals = " UNION ALL ".join(
+        f"SELECT {i} AS pid, CAST({lo} AS DOUBLE) AS lon, "
+        f"CAST({la} AS DOUBLE) AS lat"
+        for i, (lo, la) in enumerate(pts)
+    )
+    rows = spark.sql(
+        rp._staged(vals, rp.merc_forward_stages(), "pid, mx, my")
+    ).collect()
+    for r in sorted(rows, key=lambda r: r.pid):
+        lo, la = pts[r.pid]
+        x_ref = 6378137.0 * math.radians(lo)
+        y_ref = 6378137.0 * math.log(math.tan(math.pi / 4 + math.radians(la) / 2))
+        assert abs(r.mx - x_ref) < 1e-6, (r.pid, r.mx, x_ref)
+        assert abs(r.my - y_ref) < 1e-5, (r.pid, r.my, y_ref)
+    x180 = next(r.mx for r in rows if r.pid == 4)
+    assert abs(x180 - 20037508.342789244) < 1e-6
+
+
+def test_merc_gate_roundtrip(spark, sf_dir):
+    world.register_tables(spark, sf_dir)
+    rows = spark.sql(
+        rp.merc_roundtrip_sql(world.LAYER_SQL["points_part"])
+    ).collect()
+    assert rows
+    assert all(r.rt_ok for r in rows)
+
+
+def test_merc_dataframe_api(spark):
+    df = spark.sql(
+        "SELECT id AS pid, CAST(-120.0 + id * 0.3 AS DOUBLE) AS x, "
+        "CAST(-60.0 + id * 0.7 AS DOUBLE) AS y FROM RANGE(20)"
+    )
+    merc = rp.reproject(df, 4326, 3857, x="x", y="y")
+    back = rp.reproject(merc, 3857, 4326, x="x", y="y")
+    for orig, rec in zip(
+        df.orderBy("pid").collect(), back.orderBy("pid").collect()
+    ):
+        assert abs(orig.x - rec.x) < 1e-9
+        assert abs(orig.y - rec.y) < 1e-9
+
+
 def test_reproject_dataframe_api(spark):
     """reproject() round-trips a fixed-zone frame and preserves the other
     columns; unsupported pairs raise."""
