@@ -120,3 +120,20 @@ def test_nearest_join_dist_is_min(spark, sf_dir):
     assert got == {pid: pk for pid, (_, pk) in best.items()}
     for r in out:
         assert math.isclose(r.dist, math.sqrt(best[r.pid_l][0]), abs_tol=1e-6)
+
+
+def test_band_stats_tiled_equals_broadcast(spark, sf_dir):
+    """The ghost-halo tiled strategy must produce bit-identical per-point
+    (cnt, sum_v, sum_sq) to the broadcast strategy — both run the fused
+    interior/boundary pass over integer contributions, so any divergence
+    is a halo-truncation or per-tile-aggregate bug."""
+    ev = world.points_events(spark, sf_dir).selectExpr(
+        "pid", "x", "y", "CAST(w % 97 AS BIGINT) AS v"
+    )
+    kw = dict(value_col="v", left_keep={"v": "v"}, with_sq=True)
+    bc = joins.band_stats_join(ev, ev, 12.0, strategy="broadcast", **kw)
+    td = joins.band_stats_join(ev, ev, 12.0, strategy="tiled", **kw)
+    got_bc = {r.pid_l: (r.cnt, r.sum_v, r.sum_sq) for r in bc.collect()}
+    got_td = {r.pid_l: (r.cnt, r.sum_v, r.sum_sq) for r in td.collect()}
+    assert got_bc == got_td
+    assert len(got_bc) > 0
