@@ -340,6 +340,38 @@ def _assign_expr_sqlpairs(centers: list[tuple[str, str]]) -> str:
     return expr
 
 
+#: Hard cap on the histogram the driver-side Jenks DP runs over. Above it
+#: the (value, count) histogram is re-binned to at most this many bins
+#: (bin representative = max value in bin, counts summed) BEFORE the
+#: O(k*m^2) DP — the in-code bound that keeps the collect() and the DP
+#: constant-size no matter how many distinct values 10^12 rows produce.
+JENKS_MAX_BINS = 512
+
+
+def quantize_hist(
+    hist: list[tuple[int, int]], bins: int = JENKS_MAX_BINS
+) -> list[tuple[int, int]]:
+    """Re-bin a (value, count) histogram to at most ``bins`` equal-width
+    bins using pure integer arithmetic (exactly reproducible in SQL:
+    ``(v - vmin) * bins // (vmax - vmin + 1)``). Identity when it already
+    fits. Bin representative is the max value in the bin, so breaks remain
+    actual data values."""
+    if len(hist) <= bins:
+        return sorted(hist)
+    vmin = min(v for v, _ in hist)
+    span = max(v for v, _ in hist) - vmin + 1
+    agg: dict[int, list[int]] = {}
+    for v, c in hist:
+        b = (v - vmin) * bins // span
+        slot = agg.get(b)
+        if slot is None:
+            agg[b] = [v, c]
+        else:
+            slot[0] = max(slot[0], v)
+            slot[1] += c
+    return sorted((v, c) for v, c in agg.values())
+
+
 def jenks_breaks(values: list[tuple[int, int]], k: int) -> list[int]:
     """Fisher-Jenks natural breaks over a (value, count) histogram.
 
@@ -347,28 +379,32 @@ def jenks_breaks(values: list[tuple[int, int]], k: int) -> list[int]:
     after the distributed histogram collapse — the scalable shape: the
     cluster reduces 10^12 rows to a histogram, the driver solves the DP).
     Returns the k-1 upper break values (exclusive of the global max).
+
+    Prefix sums are exact Python ints and every float enters through the
+    same cast tree the SQL oracle uses (``CAST(int AS DOUBLE)`` then
+    ``sx2 - sx*sx/w``), so the DP's split decisions are bit-reproducible
+    in DuckDB (see :func:`jenks_oracle`).
     Reference: GT/clsssifier/NaturalBreaksClassify.java:39.
     """
     vals = sorted(values)
     m = len(vals)
-    xs = [float(v) for v, _ in vals]
-    ws = [float(c) for _, c in vals]
-    # prefix sums for O(1) SSE of any [i, j) range
-    pw = [0.0] * (m + 1)
-    pwx = [0.0] * (m + 1)
-    pwx2 = [0.0] * (m + 1)
+    # prefix sums for O(1) SSE of any [i, j) range — exact integers
+    pw = [0] * (m + 1)
+    pwx = [0] * (m + 1)
+    pwx2 = [0] * (m + 1)
     for i in range(m):
-        pw[i + 1] = pw[i] + ws[i]
-        pwx[i + 1] = pwx[i] + ws[i] * xs[i]
-        pwx2[i + 1] = pwx2[i] + ws[i] * xs[i] * xs[i]
+        v, c = int(vals[i][0]), int(vals[i][1])
+        pw[i + 1] = pw[i] + c
+        pwx[i + 1] = pwx[i] + c * v
+        pwx2[i + 1] = pwx2[i] + c * v * v
 
     def sse(i: int, j: int) -> float:
         w = pw[j] - pw[i]
         if w <= 0:
             return 0.0
-        sx = pwx[j] - pwx[i]
-        sx2 = pwx2[j] - pwx2[i]
-        return sx2 - sx * sx / w
+        sx = float(pwx[j] - pwx[i])
+        sx2 = float(pwx2[j] - pwx2[i])
+        return sx2 - sx * sx / float(w)
 
     INF = float("inf")
     # dp[c][j] = min SSE splitting first j values into c classes
@@ -395,11 +431,15 @@ def jenks_breaks(values: list[tuple[int, int]], k: int) -> list[int]:
 def classify_jenks(
     points: DataFrame, n_classes: int = 5, value_col: str = "w"
 ) -> DataFrame:
-    """Natural-breaks classification: distributed histogram -> driver DP ->
-    broadcast CASE classify. Output (cls, n, vmin, vmax) per class.
+    """Natural-breaks classification: distributed histogram -> bounded
+    re-bin -> driver DP -> broadcast CASE classify. Output
+    (cls, n, vmin, vmax) per class.
 
-    Rows-only on the driver gate (the DP is not SQL-expressible); the
-    class partition invariants are pytest-checked.
+    The cluster reduces the rows to a (value, count) histogram; if that
+    has more than JENKS_MAX_BINS distinct values it is re-binned with
+    integer arithmetic before the O(k*m^2) DP, so driver work is bounded
+    at any input scale. Full DuckDB oracle: :func:`jenks_oracle` unrolls
+    the same DP as chained CTEs with bit-identical float decisions.
     """
     from . import planner
 
@@ -409,6 +449,8 @@ def classify_jenks(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     ]
+    hist = quantize_hist(hist, JENKS_MAX_BINS)
+    assert len(hist) <= JENKS_MAX_BINS, "jenks histogram bound violated"
     brks = jenks_breaks(hist, int(n_classes))
     expr = f"CAST({len(brks)} AS INT)"
     for i in range(len(brks) - 1, -1, -1):
@@ -423,3 +465,106 @@ def classify_jenks(
         )
         .orderBy("cls")
     )
+
+
+def jenks_oracle(
+    layer: str = "points_events",
+    n_classes: int = 5,
+    value_col: str = "w",
+    bins: int = JENKS_MAX_BINS,
+) -> str:
+    """DuckDB oracle for :func:`classify_jenks`: the SAME bounded re-bin +
+    Fisher-Jenks DP, unrolled as chained MATERIALIZED CTEs.
+
+    Parity argument: every quantity entering a float op is an exact int64
+    (histogram counts, value sums, value-square sums — all < 2^53 at gate
+    scale), and the float expression trees are written identically on both
+    sides (``CAST(int AS DOUBLE)``; ``sx2 - sx*sx/w``; candidate =
+    ``dp_prev + sse``), so min/argmin decisions — ties broken toward the
+    smallest split index, like the Python loop's strict ``<`` — are
+    bit-identical. dp_c(j) rows exist only where the Python dp[c][j] is
+    finite, because the join chain requires a valid (c-1)-split prefix.
+    """
+    k = int(n_classes)
+    sse_0j = (
+        "CAST(b.pwx2 AS DOUBLE) - CAST(b.pwx AS DOUBLE) * "
+        "CAST(b.pwx AS DOUBLE) / CAST(b.pw AS DOUBLE)"
+    )
+    sse_ij = (
+        "CAST(b.pwx2 - a.pwx2 AS DOUBLE) - CAST(b.pwx - a.pwx AS DOUBLE) * "
+        "CAST(b.pwx - a.pwx AS DOUBLE) / CAST(b.pw - a.pw AS DOUBLE)"
+    )
+    ctes = [
+        f"pts AS (SELECT {value_col} AS w FROM {layer})",
+        "h0 AS (SELECT w AS v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM pts GROUP BY w)",
+        "ext AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS m "
+        "FROM h0)",
+        # bounded re-bin: identity when m <= bins, else integer-exact
+        # equal-width binning with representative = max value in bin
+        f"""hq AS MATERIALIZED (
+  SELECT MAX(h.v) AS v, CAST(SUM(h.c) AS BIGINT) AS c
+  FROM h0 h CROSS JOIN ext e
+  GROUP BY CASE WHEN e.m > {bins}
+                THEN ((h.v - e.vmin) * {bins}) // (e.vmax - e.vmin + 1)
+                ELSE h.v END)""",
+        "vals AS (SELECT v, c, CAST(ROW_NUMBER() OVER (ORDER BY v) "
+        "AS BIGINT) AS i FROM hq)",
+        """pre AS MATERIALIZED (
+  SELECT i, v,
+         CAST(SUM(c)         OVER (ORDER BY i) AS BIGINT) AS pw,
+         CAST(SUM(c * v)     OVER (ORDER BY i) AS BIGINT) AS pwx,
+         CAST(SUM(c * v * v) OVER (ORDER BY i) AS BIGINT) AS pwx2
+  FROM vals)""",
+        "pre0 AS (SELECT * FROM pre UNION ALL "
+        "SELECT CAST(0 AS BIGINT), NULL, CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT))",
+        "mq AS (SELECT MAX(i) AS m FROM pre)",
+        # dp[1][j] = sse(0, j), cut 0 (Python adds dp[0][0]=0.0 — exact)
+        f"""dp1 AS MATERIALIZED (
+  SELECT b.i AS j, {sse_0j} AS val, CAST(0 AS BIGINT) AS cut
+  FROM pre b)""",
+    ]
+    for c in range(2, k + 1):
+        # only the j = m row of the final level is ever read back
+        target = "JOIN mq ON b.i = mq.m" if c == k else ""
+        ctes.append(f"""dp{c} AS MATERIALIZED (
+  SELECT j, val, cut FROM (
+    SELECT cand.*, ROW_NUMBER() OVER (
+        PARTITION BY j ORDER BY val ASC, cut ASC) AS rn
+    FROM (
+      SELECT b.i AS j, d.val + ({sse_ij}) AS val, a.i AS cut
+      FROM pre b {target}
+      JOIN pre0 a ON a.i < b.i
+      JOIN dp{c - 1} d ON d.j = a.i
+    ) cand
+  ) WHERE rn = 1)""")
+    # backtrack: j_k = m, j_{c-1} = cut[c][j_c]; break value = v at row j
+    ctes.append(f"bt{k} AS (SELECT cut AS j FROM dp{k})")
+    for c in range(k - 1, 1, -1):
+        ctes.append(
+            f"bt{c} AS (SELECT d.cut AS j FROM dp{c} d "
+            f"JOIN bt{c + 1} t ON d.j = t.j)"
+        )
+    brk_cols = ", ".join(
+        f"(SELECT v FROM pre JOIN bt{c + 1} t ON pre.i = t.j) AS b{c}"
+        for c in range(1, k)
+    )
+    ctes.append(f"breaks AS (SELECT {brk_cols})")
+    case = " ".join(
+        f"WHEN p.w <= br.b{c} THEN {c - 1}" for c in range(1, k)
+    )
+    body = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cls AS INT) AS cls, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(w) AS BIGINT) AS vmin, CAST(MAX(w) AS BIGINT) AS vmax
+FROM (SELECT p.w, CASE {case} ELSE {k - 1} END AS cls
+      FROM pts p CROSS JOIN breaks br)
+GROUP BY cls ORDER BY cls
+"""
+    )
+    from . import world
+
+    return world.with_layers(body, layer)

@@ -920,17 +920,42 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The even-odd ray cast over a rect's 4-corner ring reduces BIT-EXACTLY to
+# half-open bbox tests: horizontal edges never satisfy (yi>y)!=(yj>y), and a
+# vertical edge's x-intercept is (xj-xi)*t + xi = 0*t + xi = xi exactly in
+# IEEE double, so the two flips XOR to x0 <= x < x1 (and y0 <= y < y1 from
+# the edge-crossing condition). That closed form IS the ray cast for this
+# layer, so the oracle below exercises geomlib.points_in_polygon's real
+# semantics — including its exclusive top/right boundary, which differs from
+# pip_count_rect's inclusive closed-form join.
+_GENERIC_PIP_ORACLE = f"""
+{world.oracle_cte('points_events', 'rects_customer')}
+, cand AS (
+  SELECT p.x, p.y, r.rid,
+         r.cx - r.hw AS x0, r.cx + r.hw AS x1,
+         r.cy - r.hh AS y0, r.cy + r.hh AS y1
+  FROM points_events p
+  JOIN rects_customer r
+    ON p.x >= r.cx - r.hw AND p.x <= r.cx + r.hw
+   AND p.y >= r.cy - r.hh AND p.y <= r.cy + r.hh
+)
+SELECT rid,
+       CAST(SUM(CASE WHEN x >= x0 AND x < x1 AND y >= y0 AND y < y1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+FROM cand
+GROUP BY rid
+"""
+
+
+@_register("generic_pip_raycast", _GENERIC_PIP_ORACLE)
 def q_generic_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic vertex-polygon PIP (numpy ray-cast refine) — rows-only gate;
-    equality with the closed-form path is asserted in pytest."""
+    """Generic vertex-polygon PIP (numpy ray-cast refine over bbox-candidate
+    pairs); oracle = the ray cast's closed form on rect rings (see above)."""
     from . import geomlib
 
     pts = world.points_events(spark, sf_dir)
     polys = geomlib.rects_to_polygons(world.rects_customer(spark, sf_dir))
     return geomlib.generic_pip_count(pts, polys)
-
-
-QUERIES["generic_pip_raycast"] = q_generic_pip
 
 
 # ---------------------------------------------------------------------------
@@ -1591,13 +1616,12 @@ def q_lees_s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr.global_lees_s(_ac_points(spark, sf_dir), _AC_BAND)
 
 
+@_register("classify_jenks", classify.jenks_oracle("points_events", 5, "w"))
 def q_classify_jenks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NaturalBreaksClassify (Jenks): histogram -> driver DP -> classify.
-    Rows-only gate (iterative DP not SQL-expressible)."""
+    """NaturalBreaksClassify (Jenks): histogram -> bounded re-bin -> driver
+    DP -> classify. Full oracle: the same DP unrolled as chained DuckDB
+    CTEs with bit-identical float decisions (classify.jenks_oracle)."""
     return classify.classify_jenks(world.points_events(spark, sf_dir), 5)
-
-
-QUERIES["classify_jenks"] = q_classify_jenks
 
 
 _ROGERSON_ORACLE = world.with_layers(

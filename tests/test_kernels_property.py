@@ -129,3 +129,27 @@ def test_hull_area_at_least_any_triangle(pts):
     hull_area = abs(shoelace_area(hx, hy))
     tri = abs(shoelace_area(xs[:3], ys[:3]))
     assert hull_area >= tri - 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-10_000, 10_000_000), st.integers(1, 1000)),
+        min_size=1, max_size=2000, unique_by=lambda t: t[0],
+    ),
+    st.integers(4, 64),
+)
+def test_quantize_hist_bound_and_mass(hist, bins):
+    from opengxt_spark.classify import quantize_hist
+
+    q = quantize_hist(hist, bins)
+    # hard bound — the in-code guarantee that keeps the driver DP constant
+    assert len(q) <= bins
+    # total count preserved; representatives are real data values; sorted
+    assert sum(c for _, c in q) == sum(c for _, c in hist)
+    vals = {v for v, _ in hist}
+    assert all(v in vals for v, _ in q)
+    assert q == sorted(q)
+    # identity when it already fits
+    if len(hist) <= bins:
+        assert q == sorted(hist)
