@@ -129,6 +129,9 @@ def main() -> None:
     # fixed count at every level is the apples-to-apples setup — the same
     # number of tasks, executed by fewer or more threads.
     shuffle = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
+    # Pre-touch the full heap at startup (untimed) so no timed query pays
+    # kernel page-zeroing on first-touch heap growth — see session.py.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     spark = get_spark("opengxt-bench", shuffle_partitions=shuffle)
     ins = load_inputs(spark, sf_dir)
     names = os.environ.get("BENCH_QUERIES")
@@ -177,10 +180,15 @@ def main() -> None:
             "probe_s": round(max(warm_build - best_build, 0.0), 3),
             "exec_s": round(best_exec, 3),
         }
-        # Release broadcasts before the next query runs; the JVM GC hint
-        # runs between timings, not inside them.
+        # Release the query's py4j plan refs so the ContextCleaner can drop
+        # its broadcasts. NO System.gc() here: an explicit full G1 GC
+        # uncommits heap pages, and the NEXT query's allocation burst then
+        # stalls 10-40 s in kernel page-zeroing while the heap re-grows
+        # (measured: the repeat right after a System.gc() spiked 2.6 s ->
+        # 14.6-44 s exec; without the hint the sequence is flat). Natural
+        # incremental G1 cycles reclaim the same garbage without the
+        # uncommit, and 8 queries of small broadcasts fit the heap easily.
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

