@@ -31,10 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from opengxt_spark import autocorr, binning, joins, raster, world  # noqa: E402
+from opengxt_spark import autocorr, binning, joins, planner, raster, world  # noqa: E402
 from opengxt_spark.session import get_spark  # noqa: E402
 
 K = int(os.environ.get("BENCH_SCALE", "8"))
+
+
+# Replica id offset: a power of two well above any sf layer's raw ids
+# (guarded in inputs()) and small enough that replicated ids stay inside
+# knn_join's packed top-k budget (d2m_max * nextpow2(max_id) < 2^63).
+REP_OFF = 1 << 24
 
 
 def replicate(df: DataFrame, id_col: str, k: int = K) -> DataFrame:
@@ -47,7 +53,7 @@ def replicate(df: DataFrame, id_col: str, k: int = K) -> DataFrame:
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long"))),
     )
     out = out.withColumn(
-        id_col, F.col(id_col) + F.col("_rep") * F.lit(100_000_000).cast("long")
+        id_col, F.col(id_col) + F.col("_rep") * F.lit(REP_OFF).cast("long")
     )
     for c, stride in (("x", 137.497), ("y", 61.803), ("cx", 137.497), ("cy", 61.803)):
         if c in df.columns:
@@ -77,6 +83,15 @@ def inputs(spark, sf_dir):
     over a parallel scan (the 100 TB regime — thousands of parquet splits),
     not the single-file synthetic-data generation. Materialized in main()
     before any timing starts."""
+    for layer, col in (
+        (world.points_events(spark, sf_dir), "pid"),
+        (world.points_part(spark, sf_dir), "pid"),
+        (world.rects_customer(spark, sf_dir), "rid"),
+    ):
+        mn, mx = planner.cached_minmax(layer, col)
+        assert 0 <= int(mn) and int(mx) < REP_OFF, (
+            f"{col} ids [{mn}, {mx}] exceed the replicate offset {REP_OFF}"
+        )
     ev = spread(replicate(world.points_events(spark, sf_dir), "pid")).persist()
     pt = spread(replicate(world.points_part(spark, sf_dir), "pid")).persist()
     rc = spread(replicate(world.rects_customer(spark, sf_dir), "rid")).persist()
@@ -110,7 +125,7 @@ QUERY_BUILDERS = {
     ),
     "nearest_join_r25": lambda i: joins.nearest_join(i["ev"], i["pt"], radius=25.0),
     "knn_join_k4_r50": lambda i: joins.knn_join(
-        i["ev"], i["pt"], k=4, radius=50.0, exclude_self=False
+        i["ev"], i["pt"], k=4, radius=50.0, exclude_self=False, mm_exact=True
     ),
     "hex_binning": lambda i: binning.hex_binning(i["ev"], binning.WORLD_BBOX, 12.0),
     "kernel_density": lambda i: raster.kernel_density(i["ev"]),

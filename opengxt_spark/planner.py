@@ -78,6 +78,27 @@ def cached_count(df: DataFrame, cap: int | None = None) -> int:
     return n
 
 
+_MINMAX_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def cached_minmax(df: DataFrame, col: str) -> tuple:
+    """Memoized (min, max) of one column — a single cheap column-pruned
+    aggregate job per distinct source/plan per session. Used to size the
+    packed top-k encoding (knn_join): the id bound decides the pack
+    factor, and the probe is paid once per session like cached_count."""
+    key = (plan_key(df), col)
+    mm = _MINMAX_CACHE.get(key)
+    if mm is None:
+        from pyspark.sql import functions as F
+
+        row = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx")).first()
+        mm = (row["_mn"], row["_mx"])
+        if len(_MINMAX_CACHE) > 512:
+            _MINMAX_CACHE.clear()
+        _MINMAX_CACHE[key] = mm
+    return mm
+
+
 _NPART_CACHE: dict[int, int] = {}
 
 

@@ -90,6 +90,43 @@ def test_knn_join_bruteforce(spark, sf_dir, raw):
     assert {(r.pid_l, r.pid_r, r.rank) for r in out} == expected
 
 
+def test_knn_join_packed_equals_struct(spark, sf_dir):
+    """mm_exact=True (packed bigint top-k) must reproduce the struct path
+    row-for-row on mm-grid layers: same neighbors, same ranks, and dists
+    equal to 1e-6 (the packed dist derives from the exact integer-mm
+    distance, the struct dist from the double — identical after ROUND 6
+    except on sub-mm rounding noise, which the grid rules out)."""
+    l = world.points_events(spark, sf_dir)
+    r = world.points_part(spark, sf_dir)
+    a = joins.knn_join(l, r, k=4, radius=50.0, exclude_self=False,
+                       mm_exact=True).collect()
+    b = joins.knn_join(l, r, k=4, radius=50.0, exclude_self=False).collect()
+    ka = {(x.pid_l, x.rank): (x.pid_r, x.dist) for x in a}
+    kb = {(x.pid_l, x.rank): (x.pid_r, x.dist) for x in b}
+    assert set(ka) == set(kb) and len(ka) == len(a)
+    for key, (pr, dist) in ka.items():
+        pr2, dist2 = kb[key]
+        assert pr == pr2
+        assert abs(dist - dist2) < 1e-9
+
+
+def test_knn_join_packed_overflow_falls_back(spark, sf_dir):
+    """Ids too large for the 63-bit pack budget must take the struct path
+    (not corrupt the packing): results still match the small-id run."""
+    from pyspark.sql import functions as F
+
+    l = world.points_events(spark, sf_dir)
+    r = world.points_part(spark, sf_dir)
+    big = 1 << 50  # nextpow2(max_id) * d2m_max blows the 2^63 budget
+    r_big = r.withColumn("pid", F.col("pid") + F.lit(big).cast("long"))
+    out = joins.knn_join(l, r_big, k=3, radius=50.0, exclude_self=False,
+                         mm_exact=True).collect()
+    ref = joins.knn_join(l, r, k=3, radius=50.0, exclude_self=False).collect()
+    assert {(x.pid_l, x.pid_r - big, x.rank) for x in out} == {
+        (x.pid_l, x.pid_r, x.rank) for x in ref
+    }
+
+
 def test_distance_band_symmetric_counts(spark, sf_dir):
     """Total pairs within radius must equal its transpose (join correctness)."""
     l = world.points_events(spark, sf_dir)
