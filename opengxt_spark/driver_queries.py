@@ -633,6 +633,64 @@ def q_rasterize_tiles_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["rasterize_tiles_lossy"] = q_rasterize_tiles_lossy
 
 
+from . import imageops  # noqa: E402
+
+_RESIZE_CONST_ORACLE = """
+SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id,
+       CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+       CAST((o_orderkey % 251) * 16 * 12 * 3 AS BIGINT) AS pix_sum
+FROM orders
+"""
+
+
+@_register("image_resize_const", _RESIZE_CONST_ORACLE)
+def q_image_resize_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageResize (bilinear, half-pixel centers) against a CLOSED-FORM
+    answer: bilinear resampling of a constant-color image is that constant
+    at any output size, so resizing v = okey % 251 planes to 16x12 gives
+    pix_sum = v*16*12*3 exactly (the kernel's floor(v+0.5) re-quantization
+    absorbs fp weight error). Gates decode -> resize -> checksum
+    end-to-end through mapInPandas."""
+    const = imageops.with_const_bytes(raster.images_meta(spark, sf_dir))
+    return imageops.image_pixel_sums(
+        imageops.resize_images(const, 16, 12)
+    )
+
+
+_RESIZE_IDENT_ORACLE = """
+WITH m AS (SELECT o_orderkey AS okey,
+           CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id
+           FROM orders WHERE o_orderkey % 12 = 0),
+s AS (SELECT image_id, okey,
+      UNNEST(generate_series(0, 767)) AS i FROM m)
+SELECT image_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+       CAST(SUM((okey * 31 + i * 7) % 256) AS BIGINT) AS pix_sum
+FROM s GROUP BY image_id
+"""
+
+
+@_register("image_resize_identity", _RESIZE_IDENT_ORACLE)
+def q_image_resize_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-dimension bilinear resize reproduces the deterministic
+    16x16 pattern images bit-exactly (sampling grid hits integer
+    coordinates, weights collapse to 1), so the decoded checksum equals
+    the pattern sum the oracle computes term-by-term. Verifies the
+    resize kernel's grid alignment on REAL (non-constant) pixel data."""
+    imgs = raster.images_table(spark, sf_dir).where("okey % 12 = 0")
+    return imageops.image_pixel_sums(imageops.resize_images(imgs, 16, 16))
+
+
+@_register("frame_sample_stride2", imageops.frame_sample_oracle_sql(2))
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FrameSample over a video-as-binary column: every 2nd frame of each
+    synthetic rgb8seq payload, one row per sampled frame with its decoded
+    checksum (closed-form oracle). The frame bytes themselves are dropped
+    for the gate (binary not oracle-expressible); pytest pins them."""
+    return imageops.frame_sample(
+        imageops.videos_table(spark, sf_dir), stride=2
+    ).drop("frame")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------
@@ -3282,6 +3340,140 @@ def q_tps_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms_geom.tps_interpolation_groups(pts)
 
 
+_MBC_RECTS_ORACLE = f"""
+{world.oracle_cte('rects_customer')}
+SELECT rid,
+       CAST(FLOOR(SQRT(hw * hw + hh * hh) * 1000000.0 + 0.5) AS BIGINT)
+           AS r_um,
+       TRUE AS mbc_ok
+FROM rects_customer
+"""
+
+
+@_register("min_bounding_circle_rects", _MBC_RECTS_ORACLE)
+def q_min_bounding_circle_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welzl kernel against a CLOSED-FORM answer: each customer rect's 4
+    corners rotated by a per-rid angle about (cx, cy) — the minimum
+    enclosing circle of a rectangle is its circumscribed circle, center
+    (cx, cy), radius sqrt(hw^2 + hh^2), invariant under rotation. Both
+    engines compute the um-quantized radius from the same layer doubles
+    (IEEE sqrt is correctly rounded -> bit-identical), and mbc_ok compares
+    the kernel's center/radius to the closed form; the oracle predicts
+    TRUE for every rid. Complements the rows-only per-category events
+    variant (`min_bounding_circle`) whose optimum has no closed form.
+    Reference: GT/transformation/MinimumBoundingCircleFC.java."""
+    rects = world.rects_customer(spark, sf_dir)
+    corners = rects.selectExpr(
+        "rid", "cx", "cy", "hw", "hh",
+        "CAST(rid % 157 AS DOUBLE) * 0.02 AS th",
+    ).selectExpr(
+        "rid", "cx", "cy", "hw", "hh", "th",
+        "stack(4, -1.0D, -1.0D, 1.0D, -1.0D, 1.0D, 1.0D, -1.0D, 1.0D) "
+        "AS (ux, uy)",
+    ).selectExpr(
+        "CAST(rid AS STRING) AS cat",
+        "cx + ux * hw * COS(th) - uy * hh * SIN(th) AS x",
+        "cy + ux * hw * SIN(th) + uy * hh * COS(th) AS y",
+    )
+    mbc = transforms_geom.min_bounding_circles(corners, "cat")
+    return mbc.join(
+        rects.selectExpr("CAST(rid AS STRING) AS cat", "rid", "cx", "cy",
+                         "hw", "hh"),
+        "cat",
+    ).selectExpr(
+        "rid",
+        "CAST(FLOOR(SQRT(hw * hw + hh * hh) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS r_um",
+        "(ABS(mbc_r - SQRT(hw * hw + hh * hh)) < 0.0001 AND "
+        "ABS(mbc_x - cx) < 0.0001 AND ABS(mbc_y - cy) < 0.0001) AS mbc_ok",
+    )
+
+
+# Affine-exact interpolation companions: a TIN (linear barycentric) and a
+# TPS (r^2 ln r + affine) both reproduce an affine field v = a + b*x + c*y
+# EXACTLY when the controls carry affine values — so seeding a synthetic
+# control grid that strictly contains the world turns both rows-only
+# kernels into hash-gated queries with a closed-form oracle. The affine
+# closed form is evaluated from the same layer doubles on both engines
+# (IEEE arithmetic -> bit-identical), and the ok flag pins the kernel
+# output to it at 1e-3 (kernel reproduction error is ~1e-9, pytest).
+_AFFINE_V = "(2.0 + 0.25 * x - 0.125 * y)"
+_AFFINE_ORACLE = f"""
+{world.oracle_cte('points_part')}
+SELECT pid,
+       CAST(FLOOR({_AFFINE_V} * 1000000.0 + 0.5) AS BIGINT) AS v_um,
+       TRUE AS iv_ok
+FROM points_part
+"""
+
+
+def _affine_interp_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query points (part layer, is_ctl=0) + per-category control grid
+    (5x5 over [-10, 1010]^2, is_ctl=1) carrying the affine field; interior
+    grid points get a small deterministic jitter to break the regular
+    grid's co-circular Delaunay degeneracies while the boundary stays
+    exact (the hull must contain every part point)."""
+    qry = world.points_part(spark, sf_dir).selectExpr(
+        "CAST(pid % 2 AS STRING) AS cat", "pid", "x", "y",
+        "0 AS is_ctl", "CAST(0.0 AS DOUBLE) AS v",
+    )
+    ctl = spark.range(50).selectExpr(
+        "CAST(id % 2 AS STRING) AS cat",
+        "-(id + 1) AS pid",
+        "CAST(id DIV 2 AS BIGINT) AS g",
+    ).selectExpr(
+        "cat", "pid",
+        "-10.0 + CAST(g DIV 5 AS DOUBLE) * 255.0 + "
+        "CASE WHEN g DIV 5 IN (0, 4) OR g % 5 IN (0, 4) THEN 0.0 "
+        "ELSE CAST(g % 7 AS DOUBLE) * 0.013 END AS x",
+        "-10.0 + CAST(g % 5 AS DOUBLE) * 255.0 + "
+        "CASE WHEN g DIV 5 IN (0, 4) OR g % 5 IN (0, 4) THEN 0.0 "
+        "ELSE CAST(g % 5 AS DOUBLE) * 0.011 END AS y",
+    ).selectExpr(
+        "cat", "pid", "x", "y", "1 AS is_ctl",
+        f"CAST({_AFFINE_V} AS DOUBLE) AS v",
+    )
+    return qry.unionByName(ctl)
+
+
+def _affine_interp_gate(interp: DataFrame, spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    pts = world.points_part(spark, sf_dir).select("pid", "x", "y")
+    return interp.select("pid", "iv").join(pts, "pid").selectExpr(
+        "pid",
+        f"CAST(FLOOR({_AFFINE_V} * 1000000.0 + 0.5) AS BIGINT) AS v_um",
+        f"ABS(iv - {_AFFINE_V}) < 0.001 AS iv_ok",
+    )
+
+
+@_register("tin_affine_grid", _AFFINE_ORACLE)
+def q_tin_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TINInterpolationProcess against a CLOSED-FORM answer: barycentric
+    interpolation over the Delaunay TIN of affine-valued controls is
+    affine-exact per triangle, so every part point interpolates to
+    v = 2 + 0.25x - 0.125y (um-quantized oracle; iv_ok pins the kernel at
+    1e-3). Complements the rows-only integer-field `tin_interpolation`.
+    Reference: GT/gridcoverage/TINInterpolationProcess."""
+    return _affine_interp_gate(
+        transforms_geom.tin_interpolation_groups(
+            _affine_interp_input(spark, sf_dir)),
+        spark, sf_dir)
+
+
+@_register("tps_affine_grid", _AFFINE_ORACLE)
+def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPSProcess against a CLOSED-FORM answer: the thin-plate spline's
+    radial weights vanish for affine control values (pytest pins
+    |w| < 1e-10), leaving the exact affine part — every part point
+    interpolates to v = 2 + 0.25x - 0.125y. Same oracle/ok contract as
+    `tin_affine_grid`; complements the rows-only `tps_interpolation`.
+    Reference: GT/gridcoverage/RasterInterpolationTPSOperation."""
+    return _affine_interp_gate(
+        transforms_geom.tps_interpolation_groups(
+            _affine_interp_input(spark, sf_dir)),
+        spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering: the external driver samples a CAPPED PREFIX of this
 # registry (50 queries in round 1), so registration order decides which
@@ -3294,44 +3486,39 @@ def q_tps_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order changes.
 # ---------------------------------------------------------------------------
 
-# Round-3 rotation: rounds 1+2 drove 76 distinct queries through the hard
-# gate (CORRECTNESS_r01 + _r02); this prefix holds ONLY queries the driver
-# has never hash-verified — the 7 new round-3 operators first, then one
-# never-sampled representative per remaining SURVEY §2 family. Together with
-# r1+r2, every family has at least one driver-green row; the repo's own full
-# gate (tools/check_oracle.py, published as CORRECTNESS_full_r3.json) covers
-# all registered queries every round.
+# Round-4 rotation: rounds 1-3 drove 126 distinct queries through the hard
+# gate (CORRECTNESS_r01 + _r02 + _r03); this prefix holds ONLY the 53
+# registered queries the driver has never hash-verified — the round-4
+# operators first (CRS reprojection, float-DEM GeoTIFF, multi-ring
+# shapefiles, auto-salted PIP, near-dup clusters, Jenks, the new
+# closed-form kernel companions), then the round-3 tail the 49-query
+# sample never reached, then the rows-only kernels (weaker rows check).
+# After this round every registered query has at least one driver
+# verification; the repo's own full gate (tools/check_oracle.py, published
+# as CORRECTNESS_full_r4.json) covers all registered queries every round.
 _GATE_PRIORITY = [
-    # new in round 3
-    "eliminate_converged", "neighbor_count_haversine",
-    "nearest_join_haversine", "geodesic_buffer_points", "raster_clip_extent",
-    "ann_topk_lsh_p12", "minhash_lsh_b8r2", "ann_topk_ivf",
-    "shp_roundtrip_points", "shp_roundtrip_rects", "tif_roundtrip_raster",
-    "quadkey_rollup",
-    # overlay tail (§2.4)
-    "sym_difference_rects", "identity_rects", "update_rects",
-    # global statistics tail (§2.6)
-    "global_morans_i_adaptive", "global_general_g", "ols_lineitem",
-    "join_count_stats", "global_lees_l", "global_lees_s", "rogerson_r",
-    "cluster_scan",
-    # local statistics tail (§2.7)
-    "local_lees_l", "local_lees_s", "local_rogerson_r", "local_sa_binning",
-    # geometry transformers (§2.3)
-    "flip_lines", "extend_lines", "trim_lines", "split_line_by_distance",
-    "vertices_to_points", "points_to_line", "octagonal_envelope",
-    "feature_to_line", "singlepart_to_multipart", "remove_parts",
-    "remove_holes", "wedge_buffers", "polygonize_rects",
-    "max_inscribed_circle",
-    # raster tail (§2.9)
-    "focal_slope", "focal_hillshade", "focal_tpi_tri", "idw_grid",
-    "raster_reclass", "raster_histogram", "raster_resample_bilinear",
-    "raster_surface_area", "raster_describe",
-    # grids (§2.5)
-    "triangular_grid_40", "circular_grid_25",
-    # classifiers (§2.12)
-    "classify_equal_interval", "classify_std_dev",
-    # joins tail (§2.4)
-    "hub_lines_by_id",
+    # new in round 4 (oracle-backed)
+    "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
+    "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",
+    "neardup_clusters", "classify_jenks", "median_center", "simplify_dp",
+    "min_rotated_rect_rects", "eliminate_slivers", "kernel_density_tricube",
+    "local_sa_overlay", "min_bounding_circle_rects", "tin_affine_grid",
+    "tps_affine_grid", "image_resize_const", "image_resize_identity",
+    "frame_sample_stride2",
+    # round-3 tail the 49-query sample never reached (oracle-backed)
+    "triangular_grid_40", "circular_grid_25", "classify_equal_interval",
+    "classify_std_dev", "hub_lines_by_id", "raster_ndvi",
+    "extract_values_points", "discrete_voronoi", "point_density_grid",
+    "raster_profile", "random_points", "raster_cutfill", "wind_rose_8",
+    "flow_map_od", "knn_circle_k6", "focal_curvature", "focal_flow_d8",
+    "single_sided_buffers", "variable_buffers", "split_polygon_by_count",
+    "force_dimension_3d", "raster_highlow", "raster_local_algebra",
+    "random_points_per_feature", "radial_los", "ring_map",
+    "polygons_along_lines",
+    # rows-only kernels (driver records a rows check; pytest invariants)
+    "rasterize_tiles_lossy", "min_bounding_circle", "min_rotated_rect",
+    "delaunay_groups", "concave_hull_groups", "thiessen_polygons",
+    "tin_interpolation", "max_inscribed_rect", "tps_interpolation",
 ]
 
 

@@ -1,0 +1,269 @@
+"""Multimodal image/video column operators over the BASELINE input shape.
+
+The input_hint table (image_id, bytes, w, h, fmt, caption, phash) treats
+media as opaque ``binary`` columns with typed metadata. Decode and
+feature-extract (phash) live in ``raster.py``; this module adds the
+remaining brief-listed multimodal ops — **resize** (bilinear) and
+**frame-sample** (video-as-binary) — as Arrow-batched ``mapInPandas``
+kernels: the Spark-side plumbing (schema, partitioning, batch shape) is
+real and gated; pixel work is vectorized numpy, never per-pixel Python.
+
+At 10^12 images both operators are embarrassingly parallel single-pass
+maps — no shuffle, no driver state; the scan's split count is the only
+parallelism knob. Wire formats needing codec libs absent from this
+container stay stubbed behind ``raster.decode_image``'s
+NotImplementedError contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import planner, raster, world
+
+# ---------------------------------------------------------------------------
+# Bilinear resize kernel (half-pixel-center convention, like OpenCV/PIL)
+# ---------------------------------------------------------------------------
+
+
+def bilinear_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) uint8 array.
+
+    Sampling grid uses the half-pixel-center convention: output pixel i
+    samples source coordinate (i + 0.5) * (in/out) - 0.5, clamped at the
+    borders. Identity dims reproduce the input bit-exactly (weights hit
+    0/1 on integer coordinates); constant images stay constant after the
+    floor(v + 0.5) re-quantization (weight products sum to 1 within fp).
+    """
+    h, w = img.shape[0], img.shape[1]
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    x0 = np.clip(x0, 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(y0, 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    p = img.astype(np.float64)
+    a = p[y0][:, x0]
+    b = p[y0][:, x1]
+    c = p[y1][:, x0]
+    d = p[y1][:, x1]
+    wx = fx[None, :, None]
+    wy = fy[:, None, None]
+    out = (
+        a * (1.0 - wx) * (1.0 - wy)
+        + b * wx * (1.0 - wy)
+        + c * (1.0 - wx) * wy
+        + d * wx * wy
+    )
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """ImageResize over the input-shape table: decode -> bilinear -> rgb8.
+
+    Output keeps every input column except (bytes, w, h, fmt), which are
+    replaced by the resized payload — the table stays input-shape so
+    resize composes with rasterize/phash/tile-assign downstream.
+    """
+    keep = [f for f in images.schema.fields
+            if f.name not in ("bytes", "w", "h", "fmt")]
+    schema = T.StructType(keep + [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+    names = [f.name for f in keep]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            res = []
+            for data, w_, h_, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img = raster.decode_image(data, int(w_), int(h_), str(fmt))
+                res.append(bilinear_resize(img, out_w, out_h).tobytes())
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            out["fmt"] = "rgb8"
+            out["bytes"] = res
+            yield out
+
+    return planner.ensure_parallelism(images).mapInPandas(gen, schema=schema)
+
+
+def with_const_bytes(meta: DataFrame) -> DataFrame:
+    """Attach constant-color rgb8 payloads (v = okey % 251) — the
+    closed-form fixture for the resize gate: bilinear resampling of a
+    constant image is that constant at ANY output size."""
+    fields = [f for f in meta.schema.fields if f.name != "fmt"]
+    schema = T.StructType(fields + [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["fmt"] = "rgb8"
+            pdf["bytes"] = [
+                np.full(int(w_) * int(h_) * 3, int(k) % 251,
+                        dtype=np.uint8).tobytes()
+                for k, w_, h_ in zip(pdf["okey"], pdf["w"], pdf["h"])
+            ]
+            yield pdf
+
+    return meta.mapInPandas(gen, schema=schema)
+
+
+def image_pixel_sums(images: DataFrame) -> DataFrame:
+    """Per-image decoded-pixel sum: (image_id, w, h, pix_sum) — the
+    checksum projection the resize/codec gates compare closed-form."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [
+                int(raster.decode_image(d, int(w_), int(h_), str(f_))
+                    .astype(np.int64).sum())
+                for d, w_, h_, f_ in zip(
+                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ]
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"].to_numpy(),
+                "w": pdf["w"].astype(np.int32).to_numpy(),
+                "h": pdf["h"].astype(np.int32).to_numpy(),
+                "pix_sum": np.asarray(sums, dtype=np.int64),
+            })
+
+    return images.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Video-as-binary: frame sampling
+# ---------------------------------------------------------------------------
+
+FRAME_W = 8
+FRAME_H = 6
+_VIDEOS_META_SQL = (
+    "SELECT image_id, okey, n_frames FROM (SELECT "
+    "CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
+    "o_orderkey AS okey, "
+    "CAST(o_orderkey % 5 + 3 AS INT) AS n_frames FROM orders) v"
+)
+
+
+def videos_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic video column: (image_id, okey, n_frames, fw, fh, fmt,
+    bytes) — ``bytes`` is n_frames concatenated rgb8 frames, frame f a
+    constant plane of value (okey*7 + f*13) % 256. Deterministic, so the
+    sampling gate has a closed-form DuckDB oracle; the binary layout
+    (frame-major, fw*fh*3 per frame) is the real multimodal contract."""
+    world.register_tables(spark, sf_dir)
+    meta = spark.sql(_VIDEOS_META_SQL)
+    schema = T.StructType(meta.schema.fields + [
+        T.StructField("fw", T.IntegerType()),
+        T.StructField("fh", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fsz = FRAME_W * FRAME_H * 3
+        for pdf in batches:
+            pdf = pdf.copy()
+            payload = []
+            for k, n in zip(pdf["okey"], pdf["n_frames"]):
+                vals = (int(k) * 7 + np.arange(int(n), dtype=np.int64) * 13) % 256
+                payload.append(
+                    np.repeat(vals.astype(np.uint8), fsz).tobytes()
+                )
+            pdf["fw"] = np.int32(FRAME_W)
+            pdf["fh"] = np.int32(FRAME_H)
+            pdf["fmt"] = "rgb8seq"
+            pdf["bytes"] = payload
+            yield pdf
+
+    return planner.ensure_parallelism(meta).mapInPandas(gen, schema=schema)
+
+
+def frame_sample(videos: DataFrame, stride: int) -> DataFrame:
+    """FrameSample: every ``stride``-th frame of each video payload.
+
+    Output one row per sampled frame: (image_id, frame_idx, fw, fh,
+    pix_sum, frame) — ``frame`` the raw rgb8 bytes (input-shape for any
+    downstream image op), ``pix_sum`` the decoded checksum the gate
+    verifies closed-form. Single-pass map, no shuffle; at video scale the
+    explode factor is bounded by n_frames/stride per row.
+    """
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fw", T.IntegerType()),
+        T.StructField("fh", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, frames = [], [], [], []
+            for vid, data, fw_, fh_, n in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fw"], pdf["fh"],
+                pdf["n_frames"],
+            ):
+                fsz = int(fw_) * int(fh_) * 3
+                arr = np.frombuffer(data, dtype=np.uint8)
+                for f in range(0, int(n), stride):
+                    blk = arr[f * fsz:(f + 1) * fsz]
+                    ids.append(vid)
+                    idxs.append(f)
+                    sums.append(int(blk.astype(np.int64).sum()))
+                    frames.append(blk.tobytes())
+            yield pd.DataFrame({
+                "image_id": ids,
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "fw": np.full(len(ids), FRAME_W, dtype=np.int32),
+                "fh": np.full(len(ids), FRAME_H, dtype=np.int32),
+                "pix_sum": np.asarray(sums, dtype=np.int64),
+                "frame": frames,
+            })
+
+    return videos.mapInPandas(gen, schema=schema)
+
+
+def frame_sample_oracle_sql(stride: int) -> str:
+    """Closed-form DuckDB oracle for ``frame_sample(videos_table(...))``:
+    sampled indices are generate_series(0, n_frames-1, stride) and each
+    frame's checksum is ((okey*7 + f*13) % 256) * fw*fh*3."""
+    fsz = FRAME_W * FRAME_H * 3
+    # Scalar-form UNNEST: DuckDB's generate_series TABLE function cannot
+    # take lateral column args (same workaround as footprint_tiles_oracle).
+    return f"""
+WITH v AS ({_VIDEOS_META_SQL}),
+s AS (SELECT image_id, okey,
+      UNNEST(generate_series(0, n_frames - 1, {stride})) AS f
+      FROM v)
+SELECT image_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST({FRAME_W} AS INT) AS fw,
+       CAST({FRAME_H} AS INT) AS fh,
+       CAST(((okey * 7 + f * 13) % 256) * {fsz} AS BIGINT) AS pix_sum
+FROM s
+"""

@@ -1,0 +1,100 @@
+"""Multimodal image/video column operators (imageops.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from opengxt_spark import imageops, raster
+
+
+# ---------------------------------------------------------------------------
+# bilinear_resize kernel
+# ---------------------------------------------------------------------------
+
+
+def test_identity_resize_is_bit_exact():
+    img = raster.gen_pixels(7, 24, 16)
+    out = imageops.bilinear_resize(img, 24, 16)
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_constant_stays_constant_any_size():
+    img = np.full((10, 14, 3), 173, dtype=np.uint8)
+    for w, h in ((7, 5), (28, 3), (1, 1), (14, 10)):
+        out = imageops.bilinear_resize(img, w, h)
+        assert out.shape == (h, w, 3)
+        assert (out == 173).all()
+
+
+def test_downscale_2x_averages_pairs():
+    # half-pixel convention at exact ratio 2: output pixel i samples
+    # source 2i + 0.5 -> the mean of columns/rows (2i, 2i+1).
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 12, 3)).astype(np.uint8)
+    out = imageops.bilinear_resize(img, 6, 4)
+    f = img.astype(np.float64)
+    exp = (
+        f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]
+    ) / 4.0
+    exp = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_linear_gradient_preserved_on_upscale_interior():
+    # bilinear interpolation of a linear ramp stays on the ramp away from
+    # the clamped borders
+    w, h = 16, 4
+    ramp = np.tile(np.arange(w, dtype=np.float64) * 10.0, (h, 1))
+    img = np.clip(ramp, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=2)
+    out = imageops.bilinear_resize(img, 32, 4).astype(np.float64)
+    xs = (np.arange(32) + 0.5) * (w / 32.0) - 0.5
+    exp = np.clip(np.floor(xs * 10.0 + 0.5), 0, 255)
+    interior = slice(2, 30)
+    assert np.abs(out[0, interior, 0] - exp[interior]).max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# DataFrame plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_resize_images_dataframe(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 12 = 0").limit(8)
+    out = imageops.resize_images(imgs, 16, 16).collect()
+    assert out
+    for r in out:
+        assert (r.w, r.h, r.fmt) == (16, 16, "rgb8")
+        okey = int(r.image_id.split("_")[1])
+        exp = raster.gen_pixels(okey, 16, 16)
+        got = np.frombuffer(r.bytes, dtype=np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, exp)
+
+
+def test_frame_sample_bytes_and_schema(spark, sf_dir):
+    vids = imageops.videos_table(spark, sf_dir).limit(6)
+    rows = imageops.frame_sample(vids, stride=2).collect()
+    assert rows
+    fsz = imageops.FRAME_W * imageops.FRAME_H * 3
+    for r in rows:
+        okey = int(r.image_id.split("_")[1])
+        v = (okey * 7 + r.frame_idx * 13) % 256
+        assert r.frame_idx % 2 == 0
+        frame = np.frombuffer(r.frame, dtype=np.uint8)
+        assert frame.shape == (fsz,)
+        assert (frame == v).all()
+        assert r.pix_sum == v * fsz
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    vids = imageops.videos_table(spark, sf_dir)
+    n = (
+        imageops.frame_sample(vids, stride=2)
+        .groupBy("image_id")
+        .count()
+        .join(vids.select("image_id", "n_frames"), "image_id")
+        .selectExpr("SUM(CASE WHEN count = CAST((n_frames + 1) / 2 AS INT) "
+                    "THEN 0 ELSE 1 END) AS bad")
+        .collect()[0].bad
+    )
+    assert n == 0
