@@ -691,6 +691,57 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("frame")
 
 
+def _perm_gate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The permutation-op gate input: real decoded-pattern images on the
+    deterministic okey % 7 = 3 subsample (all (w,h) combos, bounded
+    oracle fan-out — see imageops.PERM_GATE_FILTER)."""
+    return raster.images_table(spark, sf_dir).where(
+        imageops.PERM_GATE_FILTER)
+
+
+@_register("image_flip_h", imageops.flip_h_oracle_sql())
+def q_image_flip_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageFlip (left-right mirror) gated by the position-WEIGHTED
+    checksum — plain pixel sums are permutation-invariant, so the gate
+    projects sum(pixel[i] * (i+1)), which the oracle reproduces term by
+    term from the closed-form generator through the flip index map."""
+    return imageops.probe_checksums(
+        imageops.flip_images(_perm_gate_images(spark, sf_dir), "h"))
+
+
+@_register("image_flip_v", imageops.flip_v_oracle_sql())
+def q_image_flip_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageFlip (top-bottom mirror); same weighted-checksum contract as
+    `image_flip_h` with the row-reversal index map."""
+    return imageops.probe_checksums(
+        imageops.flip_images(_perm_gate_images(spark, sf_dir), "v"))
+
+
+@_register("image_rot90", imageops.rot90_oracle_sql())
+def q_image_rot90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageRotate90 (CCW, np.rot90 convention, dims swapped); weighted
+    checksum vs the rotation index map oracle."""
+    return imageops.probe_checksums(
+        imageops.rotate90_images(_perm_gate_images(spark, sf_dir)))
+
+
+@_register("image_center_crop", imageops.center_crop_oracle_sql(12, 10))
+def q_image_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageCenterCrop (centered 12x10 window, floor-offset convention);
+    weighted checksum vs the crop index map oracle."""
+    return imageops.probe_checksums(
+        imageops.center_crop_images(_perm_gate_images(spark, sf_dir),
+                                    12, 10))
+
+
+@_register("image_channel_stats", imageops.channel_stats_oracle_sql())
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel decoded statistics (sum/min/max per RGB channel) — the
+    feature-extraction projection a curation pipeline filters on; oracle
+    computes the same stats from the closed-form pixel generator."""
+    return imageops.channel_stats(_perm_gate_images(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------
@@ -3504,7 +3555,8 @@ _GATE_PRIORITY = [
     "min_rotated_rect_rects", "eliminate_slivers", "kernel_density_tricube",
     "local_sa_overlay", "min_bounding_circle_rects", "tin_affine_grid",
     "tps_affine_grid", "image_resize_const", "image_resize_identity",
-    "frame_sample_stride2",
+    "frame_sample_stride2", "image_flip_h", "image_flip_v", "image_rot90",
+    "image_center_crop", "image_channel_stats",
     # round-3 tail the 49-query sample never reached (oracle-backed)
     "triangular_grid_40", "circular_grid_25", "classify_equal_interval",
     "classify_std_dev", "hub_lines_by_id", "raster_ndvi",

@@ -248,6 +248,239 @@ def frame_sample(videos: DataFrame, stride: int) -> DataFrame:
     return videos.mapInPandas(gen, schema=schema)
 
 
+def _permute_images(
+    images: DataFrame,
+    xform,
+    out_dims,
+) -> DataFrame:
+    """Shared kernel for index-permutation ops (flip/rotate/crop).
+
+    ``xform(img) -> np.ndarray`` is a pure numpy view/slice transform;
+    ``out_dims(w, h) -> (w', h')`` gives the output dimensions. Keeps the
+    table input-shape (bytes/w/h/fmt replaced) so permutation ops compose
+    with resize/rasterize/phash downstream. Like ``resize_images`` this is
+    an embarrassingly parallel single-pass map — no shuffle, no driver
+    state; scan splits are the only parallelism knob at 10^12 images.
+    """
+    keep = [f for f in images.schema.fields
+            if f.name not in ("bytes", "w", "h", "fmt")]
+    schema = T.StructType(keep + [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+    names = [f.name for f in keep]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            res, ws, hs = [], [], []
+            for data, w_, h_, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img = raster.decode_image(data, int(w_), int(h_), str(fmt))
+                res.append(np.ascontiguousarray(xform(img)).tobytes())
+                ow, oh = out_dims(int(w_), int(h_))
+                ws.append(ow)
+                hs.append(oh)
+            out["w"] = np.asarray(ws, dtype=np.int32)
+            out["h"] = np.asarray(hs, dtype=np.int32)
+            out["fmt"] = "rgb8"
+            out["bytes"] = res
+            yield out
+
+    return planner.ensure_parallelism(images).mapInPandas(gen, schema=schema)
+
+
+def flip_images(images: DataFrame, mode: str = "h") -> DataFrame:
+    """ImageFlip: mirror each image horizontally (``mode='h'``, left-right)
+    or vertically (``'v'``, top-bottom). Dims unchanged."""
+    if mode == "h":
+        return _permute_images(images, lambda a: a[:, ::-1], lambda w, h: (w, h))
+    if mode == "v":
+        return _permute_images(images, lambda a: a[::-1], lambda w, h: (w, h))
+    raise ValueError(f"mode must be 'h' or 'v', got {mode!r}")
+
+
+def rotate90_images(images: DataFrame) -> DataFrame:
+    """ImageRotate90: rotate each image 90 degrees counter-clockwise
+    (``np.rot90`` convention: out[r', c'] = in[c', w-1-r']); output dims
+    are the input's swapped (w' = h, h' = w)."""
+    return _permute_images(images, np.rot90, lambda w, h: (h, w))
+
+
+def center_crop_images(images: DataFrame, cw: int, ch: int) -> DataFrame:
+    """ImageCenterCrop: the centered ``cw`` x ``ch`` window of each image
+    (floor-division offsets, the torchvision convention). Requires
+    cw <= w and ch <= h for every row — the kernel asserts it."""
+
+    def xf(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[0], a.shape[1]
+        assert cw <= w and ch <= h, (cw, ch, w, h)
+        oy, ox = (h - ch) // 2, (w - cw) // 2
+        return a[oy:oy + ch, ox:ox + cw]
+
+    return _permute_images(images, xf, lambda w, h: (cw, ch))
+
+
+def probe_checksums(images: DataFrame) -> DataFrame:
+    """Position-weighted decoded checksum: (image_id, w, h, wsum) with
+    wsum = sum_i pixel[i] * (i + 1) over the row-major flat index.
+
+    Unlike the plain ``image_pixel_sums`` (which is invariant under any
+    pixel permutation), the position weight makes flips/rotations/crops
+    hash-distinguishable — the projection the permutation-op gates use.
+    Max value 255 * n(n+1)/2 at n = 40*32*3 pixels ~ 1.9e9: int64-safe.
+    """
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("wsum", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for d, w_, h_, f_ in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                v = raster.decode_image(
+                    d, int(w_), int(h_), str(f_)
+                ).reshape(-1).astype(np.int64)
+                sums.append(int(np.dot(v, np.arange(1, v.size + 1))))
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"].to_numpy(),
+                "w": pdf["w"].astype(np.int32).to_numpy(),
+                "h": pdf["h"].astype(np.int32).to_numpy(),
+                "wsum": np.asarray(sums, dtype=np.int64),
+            })
+
+    return images.mapInPandas(gen, schema=schema)
+
+
+# Gate subsample for the permutation-op oracles: okey % 7 = 3 keeps every
+# (w, h) combination (7 coprime to the %4 / %3 dim cycles) while bounding
+# the DuckDB generate_series fan-out to ~n/7 images x w*h*3 terms.
+PERM_GATE_FILTER = "okey % 7 = 3"
+_PERM_GATE_META = (
+    "SELECT o_orderkey AS okey, "
+    "CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
+    "CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w, "
+    "CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h "
+    "FROM orders WHERE o_orderkey % 7 = 3"
+)
+
+
+def _perm_oracle_sql(src_index: str, out_w: str = "w", out_h: str = "h") -> str:
+    """Weighted-checksum oracle for a pixel-permutation op.
+
+    ``src_index`` maps the OUTPUT flat index ``i`` (row-major over the
+    output dims) to the INPUT flat index, in DuckDB SQL over columns
+    (i, w, h) — w/h the INPUT dims. The source pixel value is the
+    closed-form generator (okey*31 + j*7) % 256 (raster.gen_pixels).
+    """
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, ({out_w}) * ({out_h}) * 3 - 1)) AS i
+       FROM m)
+SELECT image_id,
+       CAST({out_w} AS INT) AS w,
+       CAST({out_h} AS INT) AS h,
+       CAST(SUM(((okey * 31 + ({src_index}) * 7) % 256) * (i + 1))
+            AS BIGINT) AS wsum
+FROM px GROUP BY image_id, w, h
+"""
+
+
+def flip_h_oracle_sql() -> str:
+    """Mirror left-right: source x = w-1-x, same y and channel."""
+    j = "((i // (3 * w)) * w + (w - 1 - ((i // 3) % w))) * 3 + (i % 3)"
+    return _perm_oracle_sql(j)
+
+
+def flip_v_oracle_sql() -> str:
+    """Mirror top-bottom: source y = h-1-y, same x and channel."""
+    j = "((h - 1 - (i // (3 * w))) * w + ((i // 3) % w)) * 3 + (i % 3)"
+    return _perm_oracle_sql(j)
+
+
+def rot90_oracle_sql() -> str:
+    """np.rot90 CCW: output (r', c') of shape (w, h) reads input
+    (y = c', x = w-1-r'); output flat index i decomposes against the
+    OUTPUT dims (rows = w, cols = h)."""
+    j = ("(((i // 3) % h) * w + (w - 1 - (i // (3 * h)))) * 3 + (i % 3)")
+    return _perm_oracle_sql(j, out_w="h", out_h="w")
+
+
+def center_crop_oracle_sql(cw: int, ch: int) -> str:
+    """Centered window: source (y + (h-ch)//2, x + (w-cw)//2)."""
+    j = (
+        f"((i // (3 * {cw}) + (h - {ch}) // 2) * w "
+        f"+ ((i // 3) % {cw} + (w - {cw}) // 2)) * 3 + (i % 3)"
+    )
+    return _perm_oracle_sql(j, out_w=str(cw), out_h=str(ch))
+
+
+def channel_stats(images: DataFrame) -> DataFrame:
+    """Per-channel decoded statistics: (image_id, c, ch_sum, ch_min,
+    ch_max) — one row per image per channel (c in 0..2). The per-image
+    feature-extraction shape a curation pipeline filters on (e.g. drop
+    near-monochrome images); single-pass map, no shuffle.
+    """
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("ch_sum", T.LongType()),
+        T.StructField("ch_min", T.IntegerType()),
+        T.StructField("ch_max", T.IntegerType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cs, sums, mins, maxs = [], [], [], [], []
+            for vid, d, w_, h_, f_ in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"],
+            ):
+                img = raster.decode_image(d, int(w_), int(h_), str(f_))
+                flat = img.reshape(-1, 3).astype(np.int64)
+                for c in range(3):
+                    ids.append(vid)
+                    cs.append(c)
+                    sums.append(int(flat[:, c].sum()))
+                    mins.append(int(flat[:, c].min()))
+                    maxs.append(int(flat[:, c].max()))
+            yield pd.DataFrame({
+                "image_id": ids,
+                "c": np.asarray(cs, dtype=np.int32),
+                "ch_sum": np.asarray(sums, dtype=np.int64),
+                "ch_min": np.asarray(mins, dtype=np.int32),
+                "ch_max": np.asarray(maxs, dtype=np.int32),
+            })
+
+    return images.mapInPandas(gen, schema=schema)
+
+
+def channel_stats_oracle_sql() -> str:
+    """Closed-form per-channel stats of the gen_pixels pattern on the
+    gate subsample: value at flat index i is (okey*31 + i*7) % 256 and
+    channel c takes indices i = 3k + c."""
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, w * h * 3 - 1)) AS i FROM m)
+SELECT image_id,
+       CAST(i % 3 AS INT) AS c,
+       CAST(SUM((okey * 31 + i * 7) % 256) AS BIGINT) AS ch_sum,
+       CAST(MIN((okey * 31 + i * 7) % 256) AS INT) AS ch_min,
+       CAST(MAX((okey * 31 + i * 7) % 256) AS INT) AS ch_max
+FROM px GROUP BY image_id, i % 3
+"""
+
+
 def frame_sample_oracle_sql(stride: int) -> str:
     """Closed-form DuckDB oracle for ``frame_sample(videos_table(...))``:
     sampled indices are generate_series(0, n_frames-1, stride) and each

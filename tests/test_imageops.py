@@ -98,3 +98,64 @@ def test_frame_sample_counts(spark, sf_dir):
         .collect()[0].bad
     )
     assert n == 0
+
+
+# ---------------------------------------------------------------------------
+# Permutation ops: flip / rotate90 / center-crop / channel stats
+# ---------------------------------------------------------------------------
+
+
+def test_flip_rot_crop_match_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(6)
+
+    def decoded(df):
+        return {
+            r.image_id: np.frombuffer(r.bytes, dtype=np.uint8).reshape(
+                r.h, r.w, 3)
+            for r in df.collect()
+        }
+
+    base = decoded(imgs)
+    assert base
+    for name, df, ref in (
+        ("flip_h", imageops.flip_images(imgs, "h"),
+         {k: v[:, ::-1] for k, v in base.items()}),
+        ("flip_v", imageops.flip_images(imgs, "v"),
+         {k: v[::-1] for k, v in base.items()}),
+        ("rot90", imageops.rotate90_images(imgs),
+         {k: np.rot90(v) for k, v in base.items()}),
+        ("crop", imageops.center_crop_images(imgs, 12, 10),
+         {k: v[(v.shape[0] - 10) // 2:(v.shape[0] - 10) // 2 + 10,
+               (v.shape[1] - 12) // 2:(v.shape[1] - 12) // 2 + 12]
+          for k, v in base.items()}),
+    ):
+        got = decoded(df)
+        assert set(got) == set(ref), name
+        for k in ref:
+            assert np.array_equal(got[k], ref[k]), (name, k)
+
+
+def test_probe_checksum_detects_permutation(spark, sf_dir):
+    # The position-weighted checksum MUST distinguish a flipped image from
+    # the original (a plain pixel sum does not).
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(4)
+    orig = {r.image_id: r.wsum
+            for r in imageops.probe_checksums(imgs).collect()}
+    flipped = {r.image_id: r.wsum
+               for r in imageops.probe_checksums(
+                   imageops.flip_images(imgs, "h")).collect()}
+    assert orig and set(orig) == set(flipped)
+    assert any(orig[k] != flipped[k] for k in orig)
+
+
+def test_channel_stats_match_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(5)
+    rows = imageops.channel_stats(imgs).collect()
+    assert rows and len(rows) % 3 == 0
+    for r in rows:
+        okey = int(r.image_id.split("_")[1])
+        meta = [m for m in imgs.collect() if m.image_id == r.image_id][0]
+        ch = raster.gen_pixels(okey, meta.w, meta.h)[:, :, r.c].astype(
+            np.int64)
+        assert (r.ch_sum, r.ch_min, r.ch_max) == (
+            int(ch.sum()), int(ch.min()), int(ch.max()))
