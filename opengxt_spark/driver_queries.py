@@ -742,6 +742,76 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imageops.channel_stats(_perm_gate_images(spark, sf_dir))
 
 
+@_register("image_patchify", imageops.patchify_oracle_sql())
+def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImagePatchify (ViT-style non-overlapping 8x8 patch extraction):
+    one row per patch with the patch pixel sum and the local
+    position-weighted checksum, which pins the within-patch pixel ORDER
+    the patch-embedding contract depends on."""
+    return imageops.patchify_images(_perm_gate_images(spark, sf_dir))
+
+
+@_register("image_grayscale", imageops.grayscale_oracle_sql())
+def q_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageGrayscale (BT.601 integer luma) gated through the gray8
+    payload's weighted checksum — exact integer math end-to-end, so the
+    oracle rebuilds every luma term from the pixel generator."""
+    return imageops.gray_checksums(
+        imageops.grayscale_images(_perm_gate_images(spark, sf_dir)))
+
+
+@_register("image_histogram", imageops.value_histogram_oracle_sql())
+def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 16-bin byte-value histogram (quality/anomaly scoring
+    primitive); sparse (image_id, bin, cnt) rows vs the closed-form
+    generator histogram."""
+    return imageops.value_histogram(_perm_gate_images(spark, sf_dir))
+
+
+@_register("image_pad_square", imageops.pad_square_oracle_sql())
+def q_image_pad_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImagePadSquare (zero-pad right/bottom to max(w,h) square);
+    weighted checksum over the padded output, where the zero pad region
+    still shifts every source pixel's weight — a wrong pad layout
+    hash-mismatches even though zeros add nothing."""
+    return imageops.probe_checksums(
+        imageops.pad_square_images(_perm_gate_images(spark, sf_dir)))
+
+
+@_register("image_exact_dedup", imageops.exact_dedup_oracle_sql())
+def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over the FULL image table: Spark groups
+    by sha2(bytes) while the oracle groups by the generator's
+    duplicate-class key (okey mod 768 — see exact_dedup_images docstring
+    for the proof they coincide), so the gate verifies real binary
+    dedup against metadata-only SQL."""
+    return imageops.exact_dedup_images(raster.images_table(spark, sf_dir))
+
+
+@_register("image_ar_buckets", imageops.aspect_ratio_oracle_sql())
+def q_image_ar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing over the FULL table (per-mille integer
+    ratio) — the batch-shape grouping pass; pure Catalyst agg, no
+    decode."""
+    return imageops.aspect_ratio_buckets(raster.images_table(spark, sf_dir))
+
+
+@_register("image_brightness_filter", imageops.brightness_filter_oracle_sql())
+def q_image_brightness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-threshold curation filter: keep images whose mean
+    BT.601 luma exceeds the population median, compared as the exact
+    integer predicate 16*lsum > 2029*w*h on both engines."""
+    return imageops.brightness_filter(_perm_gate_images(spark, sf_dir))
+
+
+@_register("video_temporal_diff", imageops.temporal_diff_oracle_sql())
+def q_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VideoTemporalDiff (consecutive-frame L1 distance, the
+    shot-boundary score) over the full packed-frame video table; the
+    constant-plane generator makes every pairwise diff closed-form."""
+    return imageops.temporal_diff(imageops.videos_table(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------
@@ -3556,7 +3626,10 @@ _GATE_PRIORITY = [
     "local_sa_overlay", "min_bounding_circle_rects", "tin_affine_grid",
     "tps_affine_grid", "image_resize_const", "image_resize_identity",
     "frame_sample_stride2", "image_flip_h", "image_flip_v", "image_rot90",
-    "image_center_crop", "image_channel_stats",
+    "image_center_crop", "image_channel_stats", "image_patchify",
+    "image_grayscale", "image_histogram", "image_pad_square",
+    "image_exact_dedup", "image_ar_buckets", "image_brightness_filter",
+    "video_temporal_diff",
     # round-3 tail the 49-query sample never reached (oracle-backed)
     "triangular_grid_40", "circular_grid_25", "classify_equal_interval",
     "classify_std_dev", "hub_lines_by_id", "raster_ndvi",

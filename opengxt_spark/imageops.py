@@ -500,3 +500,425 @@ SELECT image_id,
        CAST(((okey * 7 + f * 13) % 256) * {fsz} AS BIGINT) AS pix_sum
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Patch extraction (ViT-style), grayscale, histogram, pad — preprocessing
+# ---------------------------------------------------------------------------
+
+
+PATCH = 8  # all synthetic dims (16/24/32/40 x 16/24/32) are multiples of 8
+
+
+def patchify_images(images: DataFrame, p: int = PATCH) -> DataFrame:
+    """ImagePatchify: split each image into non-overlapping ``p`` x ``p``
+    patches (the ViT patch-embedding input shape) and emit one row per
+    patch: (image_id, px, py, psum, wsum) — ``psum`` the patch pixel sum,
+    ``wsum`` the position-weighted checksum over the patch's LOCAL
+    row-major flat index (weight l+1, l in [0, p*p*3)), which pins the
+    within-patch pixel ORDER, not just the multiset.
+
+    Requires p | w and p | h for every row (asserted). Single-pass
+    embarrassingly parallel map; the explode factor is (w/p)*(h/p) per
+    image — bounded, no shuffle. At 10^12 images this is the patch-prep
+    scan a ViT training pipeline runs before embedding.
+    """
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("psum", T.LongType()),
+        T.StructField("wsum", T.LongType()),
+    ])
+    wts = np.arange(1, p * p * 3 + 1, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pxs, pys, psums, wsums = [], [], [], [], []
+            for vid, d, w_, h_, f_ in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"],
+            ):
+                w, h = int(w_), int(h_)
+                assert w % p == 0 and h % p == 0, (w, h, p)
+                img = raster.decode_image(d, w, h, str(f_))
+                nx, ny = w // p, h // p
+                # (ny, p, nx, p, 3) -> (ny, nx, p, p, 3) -> (n, p*p*3)
+                mat = (
+                    img.reshape(ny, p, nx, p, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(ny * nx, p * p * 3)
+                    .astype(np.int64)
+                )
+                ids.extend([vid] * (ny * nx))
+                idx = np.arange(ny * nx)
+                pxs.append(idx % nx)
+                pys.append(idx // nx)
+                psums.append(mat.sum(axis=1))
+                wsums.append(mat @ wts)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "px": np.concatenate(pxs).astype(np.int32)
+                if pxs else np.array([], dtype=np.int32),
+                "py": np.concatenate(pys).astype(np.int32)
+                if pys else np.array([], dtype=np.int32),
+                "psum": np.concatenate(psums).astype(np.int64)
+                if psums else np.array([], dtype=np.int64),
+                "wsum": np.concatenate(wsums).astype(np.int64)
+                if wsums else np.array([], dtype=np.int64),
+            })
+
+    return planner.ensure_parallelism(images).mapInPandas(gen, schema=schema)
+
+
+def patchify_oracle_sql(p: int = PATCH) -> str:
+    """Closed-form patch oracle: one pixel series per image, grouped by
+    (patch-x, patch-y); the local weight l is rebuilt from the global
+    index's (row, col, channel) decomposition."""
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, w * h * 3 - 1)) AS i FROM m),
+t AS (SELECT image_id,
+      ((i // 3) % w) // {p} AS px,
+      (i // (3 * w)) // {p} AS py,
+      (((i // (3 * w)) % {p}) * {p} + ((i // 3) % w) % {p}) * 3 + i % 3
+        AS l,
+      (okey * 31 + i * 7) % 256 AS v
+      FROM px)
+SELECT image_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       CAST(SUM(v) AS BIGINT) AS psum,
+       CAST(SUM(v * (l + 1)) AS BIGINT) AS wsum
+FROM t GROUP BY image_id, px, py
+"""
+
+
+def grayscale_images(images: DataFrame) -> DataFrame:
+    """ImageGrayscale: ITU-R BT.601 integer luma, y = (299R + 587G +
+    114B) // 1000 — exact integer math so the oracle reproduces it
+    bit-for-bit. Output keeps the input shape with fmt='gray8' and
+    single-channel bytes (w*h uint8)."""
+    keep = [f for f in images.schema.fields
+            if f.name not in ("bytes", "fmt")]
+    schema = T.StructType(keep + [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+    names = [f.name for f in keep]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            res = []
+            for d, w_, h_, f_ in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img = raster.decode_image(
+                    d, int(w_), int(h_), str(f_)
+                ).astype(np.int64)
+                lum = (
+                    299 * img[:, :, 0] + 587 * img[:, :, 1]
+                    + 114 * img[:, :, 2]
+                ) // 1000
+                res.append(lum.astype(np.uint8).tobytes())
+            out["fmt"] = "gray8"
+            out["bytes"] = res
+            yield out
+
+    return planner.ensure_parallelism(images).mapInPandas(gen, schema=schema)
+
+
+def gray_checksums(gray: DataFrame) -> DataFrame:
+    """Weighted checksum over a gray8 table: (image_id, w, h, lsum,
+    lwsum) with lsum = sum(luma), lwsum = sum(luma[k] * (k+1))."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("lsum", T.LongType()),
+        T.StructField("lwsum", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ls, lw = [], []
+            for d, f_ in zip(pdf["bytes"], pdf["fmt"]):
+                assert str(f_) == "gray8", f_
+                v = np.frombuffer(d, dtype=np.uint8).astype(np.int64)
+                ls.append(int(v.sum()))
+                lw.append(int(np.dot(v, np.arange(1, v.size + 1))))
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"].to_numpy(),
+                "w": pdf["w"].astype(np.int32).to_numpy(),
+                "h": pdf["h"].astype(np.int32).to_numpy(),
+                "lsum": np.asarray(ls, dtype=np.int64),
+                "lwsum": np.asarray(lw, dtype=np.int64),
+            })
+
+    return gray.mapInPandas(gen, schema=schema)
+
+
+_LUMA_TERMS = (
+    "(299 * ((okey * 31 + (3 * k) * 7) % 256) "
+    "+ 587 * ((okey * 31 + (3 * k + 1) * 7) % 256) "
+    "+ 114 * ((okey * 31 + (3 * k + 2) * 7) % 256)) // 1000"
+)
+
+
+def grayscale_oracle_sql() -> str:
+    """Closed-form BT.601 integer-luma oracle over the gate subsample:
+    pixel k's channels sit at flat indices 3k/3k+1/3k+2 of gen_pixels."""
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, w * h - 1)) AS k FROM m),
+t AS (SELECT image_id, w, h, k, {_LUMA_TERMS} AS lum FROM px)
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(SUM(lum) AS BIGINT) AS lsum,
+       CAST(SUM(lum * (k + 1)) AS BIGINT) AS lwsum
+FROM t GROUP BY image_id, w, h
+"""
+
+
+def value_histogram(images: DataFrame, nbins: int = 16) -> DataFrame:
+    """Per-image histogram of decoded byte values in ``nbins`` equal
+    bins over [0, 256) — the quality/anomaly-score primitive (a spike in
+    one bin flags synthetic or clipped images). Output (image_id, bin,
+    cnt); absent bins are omitted (sparse)."""
+    assert 256 % nbins == 0, nbins
+    width = 256 // nbins
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, cnts = [], [], []
+            for vid, d, w_, h_, f_ in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"],
+            ):
+                v = raster.decode_image(
+                    d, int(w_), int(h_), str(f_)
+                ).reshape(-1)
+                c = np.bincount(v // width, minlength=nbins)
+                nz = np.nonzero(c)[0]
+                ids.extend([vid] * len(nz))
+                bins.append(nz)
+                cnts.append(c[nz])
+            yield pd.DataFrame({
+                "image_id": ids,
+                "bin": np.concatenate(bins).astype(np.int32)
+                if bins else np.array([], dtype=np.int32),
+                "cnt": np.concatenate(cnts).astype(np.int64)
+                if cnts else np.array([], dtype=np.int64),
+            })
+
+    return planner.ensure_parallelism(images).mapInPandas(gen, schema=schema)
+
+
+def value_histogram_oracle_sql(nbins: int = 16) -> str:
+    width = 256 // nbins
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, w * h * 3 - 1)) AS i FROM m)
+SELECT image_id,
+       CAST(((okey * 31 + i * 7) % 256) // {width} AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM px GROUP BY image_id, bin
+"""
+
+
+def pad_square_images(images: DataFrame) -> DataFrame:
+    """ImagePadSquare: zero-pad right/bottom to max(w, h) x max(w, h) —
+    the aspect-preserving squarify every fixed-input-shape model
+    pipeline applies before resize. Composes with the permutation-gate
+    checksum like flip/rotate/crop."""
+
+    def xf(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[0], a.shape[1]
+        s = max(w, h)
+        return np.pad(a, ((0, s - h), (0, s - w), (0, 0)))
+
+    return _permute_images(
+        images, xf, lambda w, h: (max(w, h), max(w, h)))
+
+
+def pad_square_oracle_sql() -> str:
+    """Weighted checksum over the padded S x S output: source pixels
+    where (x < w AND y < h), zeros elsewhere (zero terms drop out of the
+    sum but the (i+1) weighting still pins their positions)."""
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+d AS (SELECT image_id, okey, w, h, GREATEST(w, h) AS s FROM m),
+px AS (SELECT image_id, okey, w, h, s,
+       UNNEST(generate_series(0, s * s * 3 - 1)) AS i FROM d)
+SELECT image_id,
+       CAST(s AS INT) AS w, CAST(s AS INT) AS h,
+       CAST(SUM(CASE WHEN ((i // 3) % s) < w AND (i // (3 * s)) < h
+            THEN ((okey * 31
+                   + ((i // (3 * s)) * w + (i // 3) % s) * 3 * 7
+                   + (i % 3) * 7) % 256) * (i + 1)
+            ELSE 0 END) AS BIGINT) AS wsum
+FROM px GROUP BY image_id, s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation: exact content dedup, aspect-ratio bucketing, brightness filter
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_images(images: DataFrame) -> DataFrame:
+    """Exact image dedup by content hash over the FULL table: group by
+    sha2(bytes) (plus dims, belt-and-braces against truncated payloads)
+    and emit one row per duplicate class: (canon_okey, n_copies,
+    grp_bytes). At 10^12 images this is a single hash-shuffle on a
+    256-bit key with map-side partial aggregation — the linear-scale
+    dedup pass every training-data pipeline runs first.
+
+    The synthetic generator makes classes closed-form (pixel value
+    (okey*31 + 7i) % 256 with dims from okey % 4 / % 3, so images are
+    identical iff okey ≡ okey' mod 768) — which is what lets the gate
+    verify a CONTENT-hash grouping against a metadata-only oracle.
+    """
+    return (
+        images.groupBy(
+            F.sha2(F.col("bytes"), 256).alias("chash"),
+            "w", "h",
+        )
+        .agg(
+            F.min("okey").alias("canon_okey"),
+            F.count("*").alias("n_copies"),
+            F.sum(F.expr("CAST(w AS BIGINT) * h * 3")).alias("grp_bytes"),
+        )
+        .drop("chash", "w", "h")
+    )
+
+
+def exact_dedup_oracle_sql() -> str:
+    return """
+SELECT MIN(o_orderkey) AS canon_okey,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(CAST((16 + (o_orderkey % 4) * 8) AS BIGINT)
+                * (16 + (o_orderkey % 3) * 8) * 3) AS BIGINT) AS grp_bytes
+FROM orders GROUP BY o_orderkey % 768
+"""
+
+
+def aspect_ratio_buckets(images: DataFrame) -> DataFrame:
+    """Aspect-ratio bucketing over the FULL table: group images by the
+    integer per-mille ratio w*1000//h (how batch-shape bucketing groups
+    variable-AR images for padded-batch training). Output (ar_mille,
+    n_images, px_total). Pure Catalyst aggregation — no decode."""
+    return (
+        images.groupBy(
+            F.expr("CAST(w * 1000 DIV h AS INT)").alias("ar_mille"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.expr("CAST(w AS BIGINT) * h")).alias("px_total"),
+        )
+    )
+
+
+def aspect_ratio_oracle_sql() -> str:
+    return """
+SELECT CAST((16 + (o_orderkey % 4) * 8) * 1000
+            // (16 + (o_orderkey % 3) * 8) AS INT) AS ar_mille,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CAST((16 + (o_orderkey % 4) * 8) AS BIGINT)
+                * (16 + (o_orderkey % 3) * 8)) AS BIGINT) AS px_total
+FROM orders GROUP BY ar_mille
+"""
+
+
+# Brightness cut: keep images whose mean integer luma exceeds 2029/16
+# (= 126.8125, the synthetic population's median) — exact integer
+# comparison 16*lsum > 2029*w*h on both engines, no float thresholds.
+BRIGHT_NUM = 2029
+BRIGHT_DEN = 16
+
+
+def brightness_filter(images: DataFrame) -> DataFrame:
+    """Curation filter: keep images with mean BT.601 luma above the
+    population median; emit (image_id, w, h, lsum). Decode + luma sum is
+    one Arrow-batched map, the cut an exact integer predicate — the
+    shape of every decode-then-threshold quality filter."""
+    return gray_checksums(grayscale_images(images)).where(
+        F.expr(f"{BRIGHT_DEN} * lsum > {BRIGHT_NUM} * CAST(w AS BIGINT) * h")
+    ).drop("lwsum")
+
+
+def brightness_filter_oracle_sql() -> str:
+    return f"""
+WITH m AS ({_PERM_GATE_META}),
+px AS (SELECT image_id, okey, w, h,
+       UNNEST(generate_series(0, w * h - 1)) AS k FROM m),
+t AS (SELECT image_id, w, h, SUM({_LUMA_TERMS}) AS lsum
+      FROM px GROUP BY image_id, w, h)
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(lsum AS BIGINT) AS lsum
+FROM t WHERE {BRIGHT_DEN} * lsum > {BRIGHT_NUM} * w * h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video: temporal difference (shot-boundary primitive)
+# ---------------------------------------------------------------------------
+
+
+def temporal_diff(videos: DataFrame) -> DataFrame:
+    """VideoTemporalDiff: sum of absolute pixel differences between each
+    consecutive frame pair — the scene-change/shot-boundary score a video
+    curation pipeline thresholds. Output (image_id, frame_idx, diff_sum)
+    for frame_idx in [0, n_frames-2]. Single-pass map over the packed
+    frame-major payload; explode factor n_frames-1 per video."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("diff_sum", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for vid, data, fw_, fh_, n in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fw"], pdf["fh"],
+                pdf["n_frames"],
+            ):
+                fsz = int(fw_) * int(fh_) * 3
+                fr = np.frombuffer(data, dtype=np.uint8).reshape(
+                    int(n), fsz).astype(np.int64)
+                d = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                ids.extend([vid] * (int(n) - 1))
+                idxs.append(np.arange(int(n) - 1))
+                sums.append(d)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "frame_idx": np.concatenate(idxs).astype(np.int32)
+                if idxs else np.array([], dtype=np.int32),
+                "diff_sum": np.concatenate(sums).astype(np.int64)
+                if sums else np.array([], dtype=np.int64),
+            })
+
+    return videos.mapInPandas(gen, schema=schema)
+
+
+def temporal_diff_oracle_sql() -> str:
+    """Frames are constant planes of (okey*7 + f*13) % 256, so the
+    consecutive-frame L1 distance is ABS(plane(f+1) - plane(f)) * fsz."""
+    fsz = FRAME_W * FRAME_H * 3
+    return f"""
+WITH v AS ({_VIDEOS_META_SQL}),
+s AS (SELECT image_id, okey,
+      UNNEST(generate_series(0, n_frames - 2)) AS f
+      FROM v WHERE n_frames >= 2)
+SELECT image_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(ABS((okey * 7 + (f + 1) * 13) % 256
+                - (okey * 7 + f * 13) % 256) * {fsz} AS BIGINT) AS diff_sum
+FROM s
+"""

@@ -159,3 +159,98 @@ def test_channel_stats_match_numpy(spark, sf_dir):
             np.int64)
         assert (r.ch_sum, r.ch_min, r.ch_max) == (
             int(ch.sum()), int(ch.min()), int(ch.max()))
+
+
+# ---------------------------------------------------------------------------
+# Patchify / grayscale / pad / dedup / brightness / temporal diff
+# ---------------------------------------------------------------------------
+
+
+def test_patchify_matches_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(4)
+    metas = {r.image_id: (r.okey, r.w, r.h) for r in imgs.collect()}
+    rows = imageops.patchify_images(imgs).collect()
+    assert rows
+    p = imageops.PATCH
+    wts = np.arange(1, p * p * 3 + 1, dtype=np.int64)
+    for r in rows:
+        okey, w, h = metas[r.image_id]
+        img = raster.gen_pixels(okey, w, h).astype(np.int64)
+        blk = img[r.py * p:(r.py + 1) * p, r.px * p:(r.px + 1) * p]
+        flat = blk.reshape(-1)
+        assert r.psum == int(flat.sum())
+        assert r.wsum == int(np.dot(flat, wts))
+    # every image contributes exactly (w/p)*(h/p) patches
+    from collections import Counter
+    c = Counter(r.image_id for r in rows)
+    for vid, (okey, w, h) in metas.items():
+        assert c[vid] == (w // p) * (h // p)
+
+
+def test_grayscale_and_pad_match_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(4)
+    metas = {r.image_id: (r.okey, r.w, r.h) for r in imgs.collect()}
+    for r in imageops.grayscale_images(imgs).collect():
+        okey, w, h = metas[r.image_id]
+        img = raster.gen_pixels(okey, w, h).astype(np.int64)
+        lum = (299 * img[:, :, 0] + 587 * img[:, :, 1]
+               + 114 * img[:, :, 2]) // 1000
+        assert r.fmt == "gray8"
+        got = np.frombuffer(r.bytes, dtype=np.uint8).reshape(h, w)
+        assert np.array_equal(got, lum.astype(np.uint8))
+    for r in imageops.pad_square_images(imgs).collect():
+        okey, w, h = metas[r.image_id]
+        s = max(w, h)
+        assert (r.w, r.h) == (s, s)
+        img = raster.gen_pixels(okey, w, h)
+        ref = np.pad(img, ((0, s - h), (0, s - w), (0, 0)))
+        got = np.frombuffer(r.bytes, dtype=np.uint8).reshape(s, s, 3)
+        assert np.array_equal(got, ref)
+
+
+def test_exact_dedup_classes(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir)
+    groups = imageops.exact_dedup_images(imgs).collect()
+    n_in = imgs.count()
+    assert sum(g.n_copies for g in groups) == n_in
+    # duplicate classes are exactly okey mod 768: spot-check one
+    # multi-member group's bytes really are identical
+    multi = [g for g in groups if g.n_copies > 1]
+    if multi:
+        canon = multi[0].canon_okey
+        same = imgs.where(f"okey % 768 = {canon % 768}").collect()
+        assert len(same) == multi[0].n_copies
+        payloads = {bytes(r.bytes) for r in same}
+        assert len(payloads) == 1
+
+
+def test_brightness_filter_predicate(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3")
+    kept = imageops.brightness_filter(imgs).collect()
+    all_sums = {
+        r.image_id: (r.lsum, r.w, r.h)
+        for r in imageops.gray_checksums(
+            imageops.grayscale_images(imgs)).collect()
+    }
+    kept_ids = {r.image_id for r in kept}
+    for vid, (lsum, w, h) in all_sums.items():
+        want = imageops.BRIGHT_DEN * lsum > imageops.BRIGHT_NUM * w * h
+        assert (vid in kept_ids) == want
+    assert 0 < len(kept_ids) < len(all_sums)  # the cut actually splits
+
+
+def test_temporal_diff_matches_numpy(spark, sf_dir):
+    vids = imageops.videos_table(spark, sf_dir).limit(6)
+    metas = {r.image_id: (r.okey, r.n_frames) for r in vids.collect()}
+    fsz = imageops.FRAME_W * imageops.FRAME_H * 3
+    rows = imageops.temporal_diff(vids).collect()
+    assert rows
+    for r in rows:
+        okey, n = metas[r.image_id]
+        a = (okey * 7 + r.frame_idx * 13) % 256
+        b = (okey * 7 + (r.frame_idx + 1) * 13) % 256
+        assert r.diff_sum == abs(b - a) * fsz
+    from collections import Counter
+    c = Counter(r.image_id for r in rows)
+    for vid, (okey, n) in metas.items():
+        assert c[vid] == n - 1
