@@ -424,27 +424,31 @@ def center_crop_oracle_sql(cw: int, ch: int) -> str:
     return _perm_oracle_sql(j, out_w=str(cw), out_h=str(ch))
 
 
-def channel_stats(images: DataFrame) -> DataFrame:
+def channel_stats(images: DataFrame, extra: tuple = ()) -> DataFrame:
     """Per-channel decoded statistics: (image_id, c, ch_sum, ch_min,
     ch_max) — one row per image per channel (c in 0..2). The per-image
     feature-extraction shape a curation pipeline filters on (e.g. drop
-    near-monochrome images); single-pass map, no shuffle.
+    near-monochrome images); single-pass map, no shuffle. ``extra``
+    names input columns to propagate per output row (e.g. the event-time
+    column when this kernel runs inside a streaming plan).
     """
+    by_name = {f.name: f for f in images.schema.fields}
     schema = T.StructType([
         T.StructField("image_id", T.StringType()),
         T.StructField("c", T.IntegerType()),
         T.StructField("ch_sum", T.LongType()),
         T.StructField("ch_min", T.IntegerType()),
         T.StructField("ch_max", T.IntegerType()),
-    ])
+    ] + [by_name[n] for n in extra])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, cs, sums, mins, maxs = [], [], [], [], []
-            for vid, d, w_, h_, f_ in zip(
+            extras: list[list] = [[] for _ in extra]
+            for row_i, (vid, d, w_, h_, f_) in enumerate(zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
                 pdf["fmt"],
-            ):
+            )):
                 img = raster.decode_image(d, int(w_), int(h_), str(f_))
                 flat = img.reshape(-1, 3).astype(np.int64)
                 for c in range(3):
@@ -453,13 +457,18 @@ def channel_stats(images: DataFrame) -> DataFrame:
                     sums.append(int(flat[:, c].sum()))
                     mins.append(int(flat[:, c].min()))
                     maxs.append(int(flat[:, c].max()))
-            yield pd.DataFrame({
+                    for j, name in enumerate(extra):
+                        extras[j].append(pdf[name].iloc[row_i])
+            out = pd.DataFrame({
                 "image_id": ids,
                 "c": np.asarray(cs, dtype=np.int32),
                 "ch_sum": np.asarray(sums, dtype=np.int64),
                 "ch_min": np.asarray(mins, dtype=np.int32),
                 "ch_max": np.asarray(maxs, dtype=np.int32),
             })
+            for j, name in enumerate(extra):
+                out[name] = extras[j]
+            yield out
 
     return images.mapInPandas(gen, schema=schema)
 

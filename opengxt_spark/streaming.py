@@ -191,3 +191,43 @@ def stream_pip_count(
         )
         .select("win.start", "rid", "cnt", "sum_w")
     )
+
+
+def stream_image_channel_stats(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming multimodal feature extraction: an append-only feed of
+    image rows (binary ``bytes`` + typed metadata + event time ``ts``)
+    decoded per micro-batch into per-channel statistics, aggregated per
+    (event-time window, channel).
+
+    The decode kernel is the batch ``imageops.channel_stats`` verbatim
+    (Arrow-batched ``mapInPandas`` is a stateless streaming transform, so
+    each trigger does O(batch) decode work and holds no stream state);
+    the only state is the watermark-bounded windowed aggregation — the
+    shape of continuous image ingest at 10^12 rows, where decode/extract
+    happens once per arriving image and only tiny (window, channel)
+    aggregates persist.
+    """
+    from . import imageops as _imageops
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    per_image = _imageops.channel_stats(src, extra=("ts",))
+    return (
+        per_image.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 seconds").alias("win"), "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("ch_sum").cast("long").alias("sum_v"),
+            F.min("ch_min").alias("min_v"),
+            F.max("ch_max").alias("max_v"),
+        )
+        .select("win.start", "c", "n_images", "sum_v", "min_v", "max_v")
+    )

@@ -114,3 +114,61 @@ def test_stream_pip_replay_equals_batch(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_stream_image_stats_replay_equals_batch(spark, tmp_path):
+    """Streaming image decode + windowed channel stats: a complete replay
+    of a two-file image feed equals the batch channel_stats aggregate."""
+    from opengxt_spark import imageops, raster
+
+    imgs = (
+        raster.images_table(spark, SF)
+        .where("okey % 11 = 0")
+        .select("image_id", "okey", "w", "h", "fmt", "bytes")
+    )
+    base = datetime.datetime(2026, 1, 1)
+    imgs = imgs.withColumn(
+        "ts",
+        F.lit(base) + F.expr("make_interval(0, 0, 0, 0, 0, 0, okey % 25)"),
+    )
+    src = str(tmp_path / "img_stream")
+    imgs.where("okey % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    imgs.where("okey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("okey", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream_df = streaming.stream_image_channel_stats(spark, src, schema)
+    streaming.run_available_now(stream_df, "img_stats_replay")
+    got = (
+        spark.table("img_stats_replay")
+        .groupBy("c")
+        .agg(
+            F.sum("n_images").cast("long").alias("n"),
+            F.sum("sum_v").cast("long").alias("s"),
+            F.min("min_v").alias("lo"),
+            F.max("max_v").alias("hi"),
+        )
+        .collect()
+    )
+    want = (
+        imageops.channel_stats(imgs)
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ch_sum").cast("long").alias("s"),
+            F.min("ch_min").alias("lo"),
+            F.max("ch_max").alias("hi"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 3
+    # multiple event-time windows actually exercised
+    assert spark.table("img_stats_replay").select("start").distinct().count() > 1
