@@ -206,6 +206,13 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # tiles/sec (the BASELINE metric's second axis): tile-assignment rows
+    # emitted per second of the timed image_tile_assign pass. The count job
+    # is untimed — it reruns the same plan once to size the output.
+    tiles_per_sec = None
+    if "image_tile_assign" in timings and timings["image_tile_assign"] > 0:
+        n_tiles = QUERY_BUILDERS["image_tile_assign"](ins).count()
+        tiles_per_sec = round(n_tiles / timings["image_tile_assign"], 1)
     print(
         json.dumps(
             {
@@ -220,6 +227,7 @@ def main() -> None:
                 "throughput_rows_per_sec": round(
                     n_events * len(timings) / total, 1
                 ),
+                "throughput_tiles_per_sec": tiles_per_sec,
             }
         )
     )

@@ -812,6 +812,50 @@ def q_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imageops.temporal_diff(imageops.videos_table(spark, sf_dir))
 
 
+_CAPTION_STATS_ORACLE = """
+WITH c AS (SELECT o_orderpriority AS pri,
+           CONCAT('cap ', o_orderpriority, ' ',
+                  CAST(o_orderkey AS VARCHAR(32))) AS caption
+           FROM orders)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_caps,
+       CAST(COUNT(DISTINCT caption) AS BIGINT) AS n_distinct,
+       CAST(SUM(len(string_split(caption, ' '))) AS BIGINT) AS tok_sum,
+       CAST(SUM(length(caption)) AS BIGINT) AS char_sum
+FROM c GROUP BY pri
+"""
+
+
+@_register("caption_token_stats", _CAPTION_STATS_ORACLE)
+def q_caption_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-column text stats over the image+caption table: the Spark
+    side works ONLY from the materialized caption strings (priority
+    re-extracted as the second whitespace token, token/char sums from the
+    actual text), while the oracle rebuilds captions from orders — so any
+    caption corruption anywhere in the image table pipeline
+    hash-mismatches. Exact-caption-handling evidence for the BASELINE
+    per-row caption-equality contract, at full-table scale with no
+    decode. (The priority itself may contain spaces — '4-NOT SPECIFIED'
+    — so it is recovered as everything between the 'cap ' prefix and the
+    trailing numeric id, not as a whitespace token.)"""
+    return (
+        raster.images_meta(spark, sf_dir)
+        .select(
+            F.regexp_extract("caption", r"^cap (.*) [0-9]+$", 1)
+            .alias("pri"),
+            F.col("caption"),
+        )
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_caps"),
+            F.countDistinct("caption").cast("long").alias("n_distinct"),
+            F.sum(F.size(F.split("caption", " "))).cast("long")
+            .alias("tok_sum"),
+            F.sum(F.length("caption")).cast("long").alias("char_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------
@@ -3629,7 +3673,7 @@ _GATE_PRIORITY = [
     "image_center_crop", "image_channel_stats", "image_patchify",
     "image_grayscale", "image_histogram", "image_pad_square",
     "image_exact_dedup", "image_ar_buckets", "image_brightness_filter",
-    "video_temporal_diff",
+    "video_temporal_diff", "caption_token_stats",
     # round-3 tail the 49-query sample never reached (oracle-backed)
     "triangular_grid_40", "circular_grid_25", "classify_equal_interval",
     "classify_std_dev", "hub_lines_by_id", "raster_ndvi",
