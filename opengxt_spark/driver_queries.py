@@ -812,6 +812,17 @@ def q_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imageops.temporal_diff(imageops.videos_table(spark, sf_dir))
 
 
+@_register("image_nn_resize", imageops.nn_resize_oracle_sql(20, 14))
+def q_image_nn_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageResize (nearest-neighbor) to 20x14 — a non-divisor size that
+    upscales or downscales depending on each image's dims; the exact
+    integer index map gives REAL pattern images a closed-form weighted
+    checksum at arbitrary scale (bilinear only gates at its
+    identity/constant closed-form points)."""
+    return imageops.probe_checksums(
+        imageops.nn_resize_images(_perm_gate_images(spark, sf_dir), 20, 14))
+
+
 _CAPTION_STATS_ORACLE = """
 WITH c AS (SELECT o_orderpriority AS pri,
            CONCAT('cap ', o_orderpriority, ' ',
@@ -3673,7 +3684,7 @@ _GATE_PRIORITY = [
     "image_center_crop", "image_channel_stats", "image_patchify",
     "image_grayscale", "image_histogram", "image_pad_square",
     "image_exact_dedup", "image_ar_buckets", "image_brightness_filter",
-    "video_temporal_diff", "caption_token_stats",
+    "video_temporal_diff", "caption_token_stats", "image_nn_resize",
     # round-3 tail the 49-query sample never reached (oracle-backed)
     "triangular_grid_40", "circular_grid_25", "classify_equal_interval",
     "classify_std_dev", "hub_lines_by_id", "raster_ndvi",

@@ -931,3 +931,29 @@ SELECT image_id,
                 - (okey * 7 + f * 13) % 256) * {fsz} AS BIGINT) AS diff_sum
 FROM s
 """
+
+
+def nn_resize_images(images: DataFrame, ow: int, oh: int) -> DataFrame:
+    """ImageResize (nearest-neighbor, floor convention: src col =
+    x*w // ow, src row = y*h // oh) to an arbitrary output size. Unlike
+    bilinear (gated only at its closed-form identity/constant points),
+    the NN index map is exact integer math, so REAL pattern images gate
+    at any scale factor."""
+
+    def xf(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[0], a.shape[1]
+        iy = (np.arange(oh, dtype=np.int64) * h) // oh
+        ix = (np.arange(ow, dtype=np.int64) * w) // ow
+        return a[iy][:, ix]
+
+    return _permute_images(images, xf, lambda w, h: (ow, oh))
+
+
+def nn_resize_oracle_sql(ow: int, oh: int) -> str:
+    """Weighted checksum through the NN index map: output flat index i
+    (over ow*oh*3) reads source flat index ((y*h//oh)*w + x*w//ow)*3+c."""
+    j = (
+        f"(((i // (3 * {ow})) * h // {oh}) * w "
+        f"+ ((i // 3) % {ow}) * w // {ow}) * 3 + i % 3"
+    )
+    return _perm_oracle_sql(j, out_w=str(ow), out_h=str(oh))

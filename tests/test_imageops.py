@@ -254,3 +254,17 @@ def test_temporal_diff_matches_numpy(spark, sf_dir):
     c = Counter(r.image_id for r in rows)
     for vid, (okey, n) in metas.items():
         assert c[vid] == n - 1
+
+
+def test_nn_resize_matches_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 7 = 3").limit(5)
+    metas = {r.image_id: (r.okey, r.w, r.h) for r in imgs.collect()}
+    for ow, oh in ((20, 14), (16, 24), (7, 3)):
+        for r in imageops.nn_resize_images(imgs, ow, oh).collect():
+            okey, w, h = metas[r.image_id]
+            assert (r.w, r.h) == (ow, oh)
+            img = raster.gen_pixels(okey, w, h)
+            iy = (np.arange(oh) * h) // oh
+            ix = (np.arange(ow) * w) // ow
+            got = np.frombuffer(r.bytes, dtype=np.uint8).reshape(oh, ow, 3)
+            assert np.array_equal(got, img[iy][:, ix])
