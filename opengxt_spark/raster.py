@@ -140,7 +140,12 @@ def with_bytes(meta: DataFrame, fmt: str = "rgb8") -> DataFrame:
             ]
             yield pdf
 
-    return meta.mapInPandas(gen, schema=schema)
+    # Payload synthesis is the table's decode-equivalent cost; without the
+    # guard it runs at the raw orders-scan split count (1-2 partitions at
+    # bench scale) and every downstream image op inherits the bottleneck.
+    # At real scale a 10^12-row table scan has ample splits and this is a
+    # no-op.
+    return planner.ensure_parallelism(meta).mapInPandas(gen, schema=schema)
 
 
 def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
