@@ -867,6 +867,93 @@ def q_caption_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("image_augment_chain", imageops.augment_chain_oracle_sql(14, 12))
+def q_image_augment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused augmentation chain (flip_h -> rot90 -> center_crop 14x12) in
+    ONE decode/encode pass; the oracle composes the three verified
+    single-op index maps textually, so the gate pins that the fused
+    kernel equals the sequential pipeline term by term."""
+    return imageops.probe_checksums(
+        imageops.augment_chain_images(_perm_gate_images(spark, sf_dir),
+                                      14, 12))
+
+
+@_register("image_train_split", imageops.train_split_oracle_sql())
+def q_image_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(image_id)
+    bucket over the FULL image table — both engines hash the same id
+    strings through the same portable hex-decode SQL, so per-split counts
+    and okey checksums must agree exactly."""
+    return imageops.train_split(raster.images_meta(spark, sf_dir))
+
+
+@_register("image_diversity", imageops.image_diversity_oracle_sql())
+def q_image_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image exact-integer Gini-Simpson diversity (sum of squared
+    16-bin histogram counts) — the low-diversity/near-constant-image
+    quality filter, gated bit-exactly (a Shannon entropy would sit on
+    sub-ulp libm log differences)."""
+    return imageops.image_diversity(_perm_gate_images(spark, sf_dir))
+
+
+@_register("image_shard_plan", imageops.shard_plan_oracle_sql(1 << 20))
+def q_image_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-grain shard plan: running-size cutoff at 1 MiB in okey
+    order -> per-shard (count, bytes, okey span). The sizing pass the tar
+    sink uses; at 10^12 images it runs over the per-file lineage table,
+    never per-image rows (see imageops.shard_plan docstring)."""
+    return imageops.shard_plan(raster.images_meta(spark, sf_dir), 1 << 20)
+
+
+_WDS_CAPSUM = imageops.md5_bucket_sql("concat(image_id, '|', caption)")
+_WDS_META_ORACLE = f"""
+WITH m AS (SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32)))
+           AS image_id,
+           CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w,
+           CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h,
+           CONCAT('cap ', o_orderpriority, ' ',
+                  CAST(o_orderkey AS VARCHAR(32))) AS caption
+           FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CAST(w AS BIGINT) * h * 3) AS BIGINT) AS payload_bytes,
+       CAST(SUM({_WDS_CAPSUM}) AS BIGINT) AS capsum
+FROM m
+"""
+
+
+@_register("wds_roundtrip_meta", _WDS_META_ORACLE)
+def q_wds_roundtrip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round-trip, metadata leg: export the FULL
+    image table as tar shards, re-read via binaryFile + tar parse, and
+    aggregate (row count, payload bytes, md5 caption-row checksum). The
+    oracle recomputes all three from orders alone — any id/caption/dims
+    corruption through the tar layer hash-mismatches. The BASELINE
+    per-row caption-equality contract, exercised through a real external
+    format."""
+    from . import wds
+
+    path = wds.wds_fixture(spark, sf_dir)
+    back = wds.read_wds_shards(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.expr("CAST(w AS BIGINT) * h * 3")).alias("payload_bytes"),
+        F.sum(F.expr(_WDS_CAPSUM)).cast("long").alias("capsum"),
+    )
+
+
+@_register("wds_roundtrip_pixels", imageops._perm_oracle_sql("i"))
+def q_wds_roundtrip_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset round-trip, pixel leg: decode the re-read tar payloads
+    (okey % 7 = 3 subsample) and take the position-weighted checksum; the
+    identity index-map oracle recomputes it from the closed-form
+    generator — bit-exact pixel preservation through export + import."""
+    from . import wds
+
+    path = wds.wds_fixture(spark, sf_dir)
+    back = wds.read_wds_shards(spark, path).where(imageops.PERM_GATE_FILTER)
+    return imageops.probe_checksums(back)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------

@@ -957,3 +957,208 @@ def nn_resize_oracle_sql(ow: int, oh: int) -> str:
         f"+ ((i // 3) % {ow}) * w // {ow}) * 3 + i % 3"
     )
     return _perm_oracle_sql(j, out_w=str(ow), out_h=str(oh))
+
+
+# ---------------------------------------------------------------------------
+# Fused augmentation chain (flip_h -> rot90 -> center_crop in ONE pass)
+# ---------------------------------------------------------------------------
+
+# The individual permutation maps as (output-flat-index -> input-flat-index)
+# DuckDB formulas over INPUT dims (w, h) — the same strings the single-op
+# oracles use, factored so the chain oracle can compose them textually.
+_FLIP_H_J = "((i // (3 * w)) * w + (w - 1 - ((i // 3) % w))) * 3 + (i % 3)"
+_ROT90_J = "(((i // 3) % h) * w + (w - 1 - (i // (3 * h)))) * 3 + (i % 3)"
+
+
+def _sub_i(formula: str, repl: str) -> str:
+    """Substitute the standalone index variable ``i`` in a map formula."""
+    import re
+
+    return re.sub(r"\bi\b", f"({repl})", formula)
+
+
+def augment_chain_images(images: DataFrame, cw: int, ch: int) -> DataFrame:
+    """Fused augmentation chain flip_h -> rot90(CCW) -> center_crop(cw,ch)
+    in ONE decode/encode pass (numpy views compose lazily; only the final
+    crop is materialized). A 3-op torchvision-style pipeline run as three
+    separate operators costs 3 decodes + 3 encodes + 3 Arrow hops per
+    image; the fused kernel costs 1 of each — at 10^12 images the
+    difference is the whole augmentation budget. Requires cw <= h and
+    ch <= w for every row (dims swap at the rot90 step)."""
+
+    def xf(a: np.ndarray) -> np.ndarray:
+        b = np.rot90(a[:, ::-1])          # (h,w,3) -> (w,h,3), both views
+        hh, ww = b.shape[0], b.shape[1]
+        assert cw <= ww and ch <= hh, (cw, ch, ww, hh)
+        oy, ox = (hh - ch) // 2, (ww - cw) // 2
+        return b[oy:oy + ch, ox:ox + cw]
+
+    return _permute_images(images, xf, lambda w, h: (cw, ch))
+
+
+def augment_chain_oracle_sql(cw: int, ch: int) -> str:
+    """Composed index-map oracle: crop-over-(h,w) o rot90 o flip_h.
+
+    Each stage's verified single-op formula is substituted into the next
+    (output index walks backwards through the chain), so the oracle IS
+    the composition — no hand-derived closed form to get wrong."""
+    # center_crop formula with input dims (W,H) = (h,w) (post-rot90):
+    j3 = (
+        f"((i // (3 * {cw}) + (w - {ch}) // 2) * h "
+        f"+ ((i // 3) % {cw} + (h - {cw}) // 2)) * 3 + (i % 3)"
+    )
+    j2 = _sub_i(_ROT90_J, j3)    # rot90 source over input dims (w, h)
+    j1 = _sub_i(_FLIP_H_J, j2)   # flip_h source over input dims (w, h)
+    return _perm_oracle_sql(j1, out_w=str(cw), out_h=str(ch))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (portable md5 bucket hash)
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 65536
+TRAIN_CUT = 52429  # floor(0.8 * 65536) + 1 boundary -> 80.0005% train
+VAL_CUT = 58982    # +10% val, rest test
+
+
+def md5_bucket_sql(expr: str) -> str:
+    """Integer in [0, 65536) from the first 4 hex digits of md5(expr),
+    written in SQL that evaluates identically on Spark and DuckDB
+    (md5/substr/instr exist in both with the same semantics). The
+    engine-portable deterministic hash every split/sample op here uses."""
+    terms = []
+    for k in range(1, 5):
+        d = f"(instr('0123456789abcdef', substr(md5({expr}), {k}, 1)) - 1)"
+        terms.append(f"{d} * {16 ** (4 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+SPLIT_CASE_SQL = (
+    f"CASE WHEN {md5_bucket_sql('image_id')} < {TRAIN_CUT} THEN 'train' "
+    f"WHEN {md5_bucket_sql('image_id')} < {VAL_CUT} THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def train_split(meta: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(image_id)
+    bucket — stable across runs, cluster sizes, and row order (the split
+    is a pure function of the id, so adding images never reshuffles
+    existing assignments). Returns per-split (split, n_images, okey_sum,
+    px_total); the full assignment is the same expression un-aggregated."""
+    return (
+        meta.withColumn("split", F.expr(SPLIT_CASE_SQL))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("okey").alias("okey_sum"),
+            F.sum(F.expr("CAST(w AS BIGINT) * h")).alias("px_total"),
+        )
+    )
+
+
+_FULL_META = (
+    "SELECT o_orderkey AS okey, "
+    "CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id, "
+    "CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w, "
+    "CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h, "
+    "CONCAT('cap ', o_orderpriority, ' ', CAST(o_orderkey AS VARCHAR(32))) "
+    "AS caption "
+    "FROM orders"
+)
+
+
+def train_split_oracle_sql() -> str:
+    return f"""
+WITH m AS ({_FULL_META})
+SELECT {SPLIT_CASE_SQL} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(okey) AS BIGINT) AS okey_sum,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS px_total
+FROM m GROUP BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image diversity score (exact-integer Gini-Simpson over the histogram)
+# ---------------------------------------------------------------------------
+
+def image_diversity(images: DataFrame, nbins: int = 16) -> DataFrame:
+    """Per-image diversity from the ``nbins`` value histogram: emit
+    (image_id, n, sumsq) with sumsq = sum of squared bin counts. The
+    Gini-Simpson diversity 1 - sumsq/n^2 orders images identically, but
+    the integers are EXACT cross-engine (a Shannon entropy would hang the
+    gate on sub-ulp libm log differences) — the quality-filter primitive
+    for flagging near-constant (low-diversity) images."""
+    return (
+        value_histogram(images, nbins)
+        .groupBy("image_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.expr("cnt * cnt")).alias("sumsq"),
+        )
+    )
+
+
+def image_diversity_oracle_sql(nbins: int = 16) -> str:
+    return f"""
+WITH hist AS ({value_histogram_oracle_sql(nbins)})
+SELECT image_id, CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+FROM hist GROUP BY image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Size-targeted shard plan (manifest-level bin packing)
+# ---------------------------------------------------------------------------
+
+def shard_plan(meta: DataFrame, target_bytes: int) -> DataFrame:
+    """Assign images to size-targeted shards by running-size cutoff in
+    okey order: shard k holds the rows whose PRECEDING payload total is in
+    [k*target, (k+1)*target). Output one row per shard: (shard_id,
+    n_images, shard_bytes, okey_min, okey_max).
+
+    Scale note: the global ordered window is intentional — this op runs
+    at MANIFEST grain. At 10^12 images the input is the per-file lineage
+    table (~10^6 rows, one per parquet file), not per-image rows; the
+    per-image shard assignment inside a file is then file-local. The
+    actual tar sink (opengxt_spark.wds) never runs a global window: it
+    range-partitions by okey and packs within tasks."""
+    nbytes = "CAST(w AS BIGINT) * h * 3 + length(caption)"
+    withb = meta.select(
+        "okey", F.expr(nbytes).alias("nbytes")
+    ).withColumn(
+        "prev",
+        F.expr(
+            "COALESCE(SUM(nbytes) OVER (ORDER BY okey ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ),
+    )
+    return (
+        withb.withColumn("shard_id", F.expr(f"CAST(prev DIV {target_bytes} AS INT)"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("nbytes").alias("shard_bytes"),
+            F.min("okey").alias("okey_min"),
+            F.max("okey").alias("okey_max"),
+        )
+    )
+
+
+def shard_plan_oracle_sql(target_bytes: int) -> str:
+    return f"""
+WITH m AS ({_FULL_META}),
+b AS (SELECT okey, CAST(w AS BIGINT) * h * 3 + length(caption) AS nbytes
+      FROM m),
+p AS (SELECT okey, nbytes,
+      COALESCE(SUM(nbytes) OVER (ORDER BY okey ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING), 0) AS prev FROM b)
+SELECT CAST(prev // {target_bytes} AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+       CAST(MIN(okey) AS BIGINT) AS okey_min,
+       CAST(MAX(okey) AS BIGINT) AS okey_max
+FROM p GROUP BY shard_id
+"""

@@ -1,0 +1,203 @@
+"""WebDataset-style tar shard sink/source for the image+caption table.
+
+Large-scale training pipelines consume image+caption data as sequential
+tar shards (the WebDataset layout: one `{key}.rgb8` payload member plus a
+`{key}.json` metadata member per sample, samples contiguous within a
+shard) rather than as row-columnar parquet — a sequential read per shard
+feeds a data-loader at disk bandwidth with zero seeks. This module is the
+export/import pair for that layout, designed like the engine's shapefile
+and GeoTIFF sinks (reference parity: the reference's export operations,
+e.g. GeoTools `RasterExportOperation.java` / `FeatureInserter.java:60`,
+buffer rows into external files with a manifest; here the "format" is the
+public WebDataset/tar convention instead of shp/tif):
+
+- **Export**: `repartitionByRange(n_shards, okey)` then one tar written
+  per partition by its own task (no driver funnel, no global window);
+  each task emits a manifest row (file, rows, bytes, okey_min, okey_max)
+  — the same per-partition lineage contract as `checkpoint.py`. Shard
+  count is sized from a one-row count+sum aggregate against the target
+  shard byte size.
+- **Import**: a `binaryFile` scan of `*.tar` with an Arrow-batched tar
+  parse — shuffle-free, one task per shard, exactly like the shapefile
+  source.
+- **Determinism**: tar members are emitted in okey order with pinned
+  mtime=0, uid/gid=0, so re-exporting identical data yields bit-identical
+  shards (resume-safe, content-addressable).
+
+At 10^12 images nothing here is driver-bound: the only `.collect()` is
+the 1-row sizing aggregate and the manifest write action (one row per
+shard, same as every write job's task-commit messages).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: target payload bytes per shard. Real pipelines use ~100MB-1GB; the
+#: default keeps gate-scale fixtures multi-shard so the multi-file reader
+#: path is always exercised.
+TARGET_SHARD_BYTES = 4 << 20
+
+_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("rows", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+    T.StructField("okey_min", T.LongType()),
+    T.StructField("okey_max", T.LongType()),
+])
+
+_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("okey", T.LongType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+])
+
+
+def _tar_add(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
+    info = tarfile.TarInfo(name=name)
+    info.size = len(payload)
+    info.mtime = 0
+    info.uid = info.gid = 0
+    info.uname = info.gname = ""
+    tf.addfile(info, io.BytesIO(payload))
+
+
+def write_wds_shards(
+    images: DataFrame,
+    out_dir: str,
+    target_bytes: int = TARGET_SHARD_BYTES,
+) -> DataFrame:
+    """Write the image table as WebDataset tar shards; return the manifest.
+
+    ``images`` must carry (image_id, okey, w, h, fmt, caption, bytes).
+    Returns the per-shard lineage manifest DataFrame (already persisted to
+    ``out_dir/_manifest`` as parquet); the write itself happens when the
+    manifest is materialized, exactly like the shapefile sink.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n, total = images.agg(
+        F.count("*"), F.sum(F.expr("CAST(w AS BIGINT) * h * 3"))
+    ).first()
+    n_shards = max(2, -(-int(total or 0) // target_bytes))
+    parts = images.select(
+        "image_id", "okey", "w", "h", "fmt", "caption", "bytes"
+    ).repartitionByRange(n_shards, "okey")
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            return
+        pdf = pd.concat(rows).sort_values("okey")
+        fn = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        nbytes = 0
+        with tarfile.open(fn, "w") as tf:
+            for r in pdf.itertuples(index=False):
+                meta = json.dumps(
+                    {"okey": int(r.okey), "w": int(r.w), "h": int(r.h),
+                     "fmt": str(r.fmt), "caption": str(r.caption)},
+                    sort_keys=True,
+                ).encode()
+                _tar_add(tf, f"{r.image_id}.json", meta)
+                payload = bytes(r.bytes)
+                _tar_add(tf, f"{r.image_id}.{r.fmt}", payload)
+                nbytes += len(payload)
+        yield pd.DataFrame({
+            "file": [os.path.basename(fn)],
+            "rows": [len(pdf)],
+            "bytes": [nbytes],
+            "okey_min": [int(pdf["okey"].min())],
+            "okey_max": [int(pdf["okey"].max())],
+        })
+
+    manifest = parts.mapInPandas(write_part, schema=_MANIFEST_SCHEMA)
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "_manifest"))
+    return images.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
+
+
+def read_wds_shards(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Read WebDataset tar shards back into the image-table shape.
+
+    One `binaryFile` scan of the shard files, one Arrow-batched tar parse
+    per shard — shuffle-free (the plan has zero exchanges, like the
+    shapefile source). Column set matches `raster.images_table` minus the
+    synthetic footprint columns.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(in_dir, "*.tar"))
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "okey", "w", "h", "fmt", "caption", "bytes")}
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    pending: dict[str, dict] = {}
+                    for m in tf:
+                        stem, ext = m.name.rsplit(".", 1)
+                        rec = pending.setdefault(stem, {})
+                        data = tf.extractfile(m).read()
+                        if ext == "json":
+                            rec["meta"] = json.loads(data)
+                        else:
+                            rec["payload"] = data
+                        if "meta" in rec and "payload" in rec:
+                            meta = rec["meta"]
+                            out["image_id"].append(stem)
+                            out["okey"].append(int(meta["okey"]))
+                            out["w"].append(int(meta["w"]))
+                            out["h"].append(int(meta["h"]))
+                            out["fmt"].append(str(meta["fmt"]))
+                            out["caption"].append(str(meta["caption"]))
+                            out["bytes"].append(rec["payload"])
+                            del pending[stem]
+                    if pending:
+                        raise ValueError(
+                            f"unpaired members in shard: {sorted(pending)[:3]}"
+                        )
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(parse, schema=_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Gate fixture (write once per sf per session, like shapefile fixtures)
+# ---------------------------------------------------------------------------
+
+_FIXED: set = set()
+
+
+def wds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Round-trip fixture: export the full synthetic image table once per
+    (sf, session); return the shard directory."""
+    from . import raster
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.scratch/wds", tag)
+    if path not in _FIXED:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_wds_shards(raster.images_table(spark, sf_dir), path)
+        _FIXED.add(path)
+    return path

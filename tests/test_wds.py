@@ -1,0 +1,142 @@
+"""WebDataset tar shard sink/source + training-split/shard-plan tests.
+
+Round-trip fidelity (bit-exact payloads, caption equality), per-partition
+lineage manifest consistency, deterministic re-export (pinned tar
+metadata), split determinism/partition, and shard-plan size bounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from opengxt_spark import imageops, raster, wds
+
+
+def _roundtrip(spark, sf_dir, tmp_path, target=1 << 20):
+    out = str(tmp_path / "shards")
+    src = raster.images_table(spark, sf_dir)
+    manifest = wds.write_wds_shards(src, out, target_bytes=target)
+    back = wds.read_wds_shards(spark, out)
+    return src, manifest, back, out
+
+
+def test_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    src, _, back, _ = _roundtrip(spark, sf_dir, tmp_path)
+    a = src.select(
+        "image_id", "w", "h", "fmt", "caption",
+        F.sha2("bytes", 256).alias("sha"),
+    )
+    b = back.select(
+        "image_id", "w", "h", "fmt", "caption",
+        F.sha2("bytes", 256).alias("sha"),
+    )
+    assert a.count() == b.count() > 0
+    # exceptAll both ways == empty -> exact multiset equality of all columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_manifest_lineage_consistent(spark, sf_dir, tmp_path):
+    src, manifest, back, out = _roundtrip(spark, sf_dir, tmp_path)
+    rows = manifest.collect()
+    n_src = src.count()
+    assert sum(r.rows for r in rows) == n_src == back.count()
+    # files on disk match the manifest exactly
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "*.tar"))
+    )
+    assert sorted(r.file for r in rows) == on_disk
+    # okey ranges are disjoint (range partitioning) and byte sums match
+    spans = sorted((r.okey_min, r.okey_max) for r in rows)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0
+    total = src.agg(F.sum(F.expr("CAST(w AS BIGINT) * h * 3"))).first()[0]
+    assert sum(r.bytes for r in rows) == total
+
+
+def test_deterministic_re_export(spark, sf_dir, tmp_path):
+    """Same data exported twice -> bit-identical shard files (tar
+    metadata pinned: mtime=0, uid/gid=0, members in okey order)."""
+    src = raster.images_table(spark, sf_dir).where("okey % 17 = 3")
+    hashes = []
+    for d in ("a", "b"):
+        out = str(tmp_path / d)
+        wds.write_wds_shards(src, out, target_bytes=1 << 18)
+        digest = {}
+        for p in sorted(glob.glob(os.path.join(out, "*.tar"))):
+            digest[os.path.basename(p)] = hashlib.sha256(
+                open(p, "rb").read()
+            ).hexdigest()
+        hashes.append(digest)
+    assert hashes[0] == hashes[1] and hashes[0]
+
+
+def test_read_plan_is_shuffle_free(spark, sf_dir, tmp_path):
+    _, _, back, _ = _roundtrip(spark, sf_dir, tmp_path)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_train_split_partition_and_determinism(spark, sf_dir):
+    meta = raster.images_meta(spark, sf_dir)
+    assigned = meta.withColumn("split", F.expr(imageops.SPLIT_CASE_SQL))
+    n = meta.count()
+    counts = {r.split: r.c for r in
+              assigned.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == n
+    # proportions near 80/10/10 (binomial tolerance at sf0.001 n~1500)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.05
+    # pure function of image_id: re-evaluation identical
+    again = {r.split: r.c for r in
+             assigned.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert counts == again
+
+
+def test_shard_plan_size_bound(spark, sf_dir):
+    target = 1 << 18
+    meta = raster.images_meta(spark, sf_dir)
+    plan = imageops.shard_plan(meta, target).collect()
+    max_item = meta.agg(
+        F.max(F.expr("CAST(w AS BIGINT) * h * 3 + length(caption)"))
+    ).first()[0]
+    total = meta.agg(
+        F.sum(F.expr("CAST(w AS BIGINT) * h * 3 + length(caption)"))
+    ).first()[0]
+    assert sum(r.n_images for r in plan) == meta.count()
+    assert sum(r.shard_bytes for r in plan) == total
+    # running-cutoff guarantee: every shard < target + its largest item
+    for r in plan:
+        assert r.shard_bytes < target + max_item
+    # shards are contiguous okey ranges
+    spans = sorted((r.okey_min, r.okey_max) for r in plan)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0
+
+
+def test_augment_chain_equals_sequential(spark, sf_dir):
+    """Fused flip->rot90->crop == the three single ops composed."""
+    imgs = raster.images_table(spark, sf_dir).where("okey % 29 = 1")
+    fused = imageops.probe_checksums(
+        imageops.augment_chain_images(imgs, 14, 12))
+    seq = imageops.probe_checksums(
+        imageops.center_crop_images(
+            imageops.rotate90_images(imageops.flip_images(imgs, "h")),
+            14, 12))
+    a = {r.image_id: (r.w, r.h, r.wsum) for r in fused.collect()}
+    b = {r.image_id: (r.w, r.h, r.wsum) for r in seq.collect()}
+    assert a == b and a
+
+
+def test_image_diversity_matches_numpy(spark, sf_dir):
+    imgs = raster.images_table(spark, sf_dir).where("okey % 31 = 2")
+    got = {r.image_id: (r.n, r.sumsq)
+           for r in imageops.image_diversity(imgs).collect()}
+    for r in imgs.select("image_id", "okey", "w", "h").collect():
+        v = raster.gen_pixels(r.okey, r.w, r.h).reshape(-1)
+        c = np.bincount(v // 16, minlength=16).astype(np.int64)
+        assert got[r.image_id] == (int(c.sum()), int((c * c).sum()))
