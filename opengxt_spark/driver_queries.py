@@ -954,6 +954,70 @@ def q_wds_roundtrip_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imageops.probe_checksums(back)
 
 
+from . import quadkey as _qk_mod  # noqa: E402
+
+_IMG_QK_ORACLE = _qk_mod.quadkey_rollup_oracle(
+    fine_level=7,
+    coarse_levels=2,
+    layer_cte=f"WITH m AS ({raster.IMAGES_META_SQL_DUCK})",
+    layer_name="m",
+    x="fx",
+    y="fy",
+    w="CAST(w AS BIGINT) * h",
+)
+
+
+@_register("image_quadkey_rollup", _IMG_QK_ORACLE)
+def q_image_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell index OVER THE IMAGE TABLE: level-7 Morton
+    quadkeys of each image's footprint origin with per-cell image count
+    and pixel volume, parents rolled up from cells (qk DIV 4) — the
+    spatial x image fusion the north rule centers on: where is my
+    training data, at every zoom, one scan of 10^12 rows."""
+    pts = raster.images_meta(spark, sf_dir).selectExpr(
+        "fx AS x", "fy AS y", "CAST(w AS BIGINT) * h AS w"
+    )
+    return _qk_mod.quadkey_rollup(pts, fine_level=7, coarse_levels=2)
+
+
+_IMG_ZONES_ORACLE = f"""
+{world.oracle_cte('rects_customer')},
+m AS ({raster.IMAGES_META_SQL_DUCK})
+SELECT r.rid AS rid,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(m.w AS BIGINT) * m.h) AS BIGINT) AS px_total
+FROM rects_customer r
+JOIN m ON m.fx >= r.cx - r.hw AND m.fx <= r.cx + r.hw
+      AND m.fy >= r.cy - r.hh AND m.fy <= r.cy + r.hh
+GROUP BY r.rid
+"""
+
+
+@_register("images_in_zones", _IMG_ZONES_ORACLE)
+def q_images_in_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone image inventory: PIP join of image footprint origins
+    against the customer polygon layer -> (rid, cnt, px_total). The
+    image-table instance of the flagship broadcast cell join — curation
+    by geography ("how much training data covers each AOI")."""
+    pts = raster.images_meta(spark, sf_dir).selectExpr(
+        "image_id", "fx AS x", "fy AS y", "CAST(w AS BIGINT) * h AS px"
+    )
+    return (
+        joins.pip_count_join(pts, world.rects_customer(spark, sf_dir),
+                             weight_col="px")
+        .withColumnRenamed("sum_w", "px_total")
+    )
+
+
+@_register("image_dedup_canonical", imageops.dedup_canonical_oracle_sql())
+def q_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor set over the FULL image table: the canonical
+    (min-okey) representative per sha2 content class, with class size —
+    the other half of the dedup contract (`image_exact_dedup` reports
+    classes; this is the filtered table you train on)."""
+    return imageops.dedup_canonical(raster.images_table(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / ANN
 # ---------------------------------------------------------------------------

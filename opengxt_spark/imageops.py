@@ -1162,3 +1162,32 @@ SELECT CAST(prev // {target_bytes} AS INT) AS shard_id,
        CAST(MAX(okey) AS BIGINT) AS okey_max
 FROM p GROUP BY shard_id
 """
+
+
+def dedup_canonical(images: DataFrame) -> DataFrame:
+    """Exact-dedup SURVIVOR set: one canonical row per duplicate class
+    (min okey wins), with the class size — the filtered table a curation
+    pipeline actually trains on, vs `exact_dedup_images` which reports
+    the classes. Same single hash-shuffle with map-side partial agg;
+    linear at 10^12 images."""
+    return (
+        images.groupBy(F.sha2(F.col("bytes"), 256).alias("chash"), "w", "h")
+        .agg(
+            F.min("okey").alias("okey"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("okey", "w", "h", "n_dups")
+    )
+
+
+def dedup_canonical_oracle_sql() -> str:
+    """Duplicate classes are okey ≡ okey' (mod 768) with identical dims
+    (see exact_dedup_images); the canonical row's dims follow from its
+    okey since all class members agree mod 4 and mod 3."""
+    return """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS okey,
+       CAST(16 + (MIN(o_orderkey) % 4) * 8 AS INT) AS w,
+       CAST(16 + (MIN(o_orderkey) % 3) * 8 AS INT) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM orders GROUP BY o_orderkey % 768
+"""

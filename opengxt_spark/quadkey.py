@@ -95,9 +95,21 @@ def quadkey_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quadkey_rollup(pts)
 
 
-def quadkey_rollup_oracle(fine_level: int = 7, coarse_levels: int = 2) -> str:
-    cx = level_cell_sql("x", fine_level)
-    cy = level_cell_sql("y", fine_level)
+def quadkey_rollup_oracle(
+    fine_level: int = 7,
+    coarse_levels: int = 2,
+    layer_cte: str | None = None,
+    layer_name: str = "points_events",
+    x: str = "x",
+    y: str = "y",
+    w: str = "w",
+) -> str:
+    """DuckDB oracle for `quadkey_rollup` over any (x, y, w) source:
+    default the events point layer; pass ``layer_cte``/``layer_name`` and
+    the column expressions to roll up a different table (e.g. image
+    footprints)."""
+    cx = level_cell_sql(x, fine_level)
+    cy = level_cell_sql(y, fine_level)
     qk = morton_sql(cx, cy, fine_level)
     parts = [
         f"""
@@ -107,8 +119,8 @@ SELECT CAST({fine_level} AS INT) AS level, qk, cnt, sum_w FROM fine"""
     ctes = [
         f"""fine AS (
   SELECT {qk} AS qk, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(w) AS BIGINT) AS sum_w
-  FROM points_events GROUP BY 1
+         CAST(SUM({w}) AS BIGINT) AS sum_w
+  FROM {layer_name} GROUP BY 1
 )"""
     ]
     for i, lvl in enumerate(
@@ -127,7 +139,7 @@ SELECT CAST({fine_level} AS INT) AS level, qk, cnt, sum_w FROM fine"""
 SELECT CAST({lvl} AS INT) AS level, qk, cnt, sum_w FROM {name}"""
         )
         prev = name
-    layer = world.oracle_cte("points_events")
+    layer = world.oracle_cte("points_events") if layer_cte is None else layer_cte
     return (
         layer + ",\n" + ",\n".join(ctes) + "\n" + "\nUNION ALL".join(parts)
     )

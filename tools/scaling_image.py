@@ -11,6 +11,9 @@ decode-bearing multimodal jobs rather than the spatial-join suite:
 - ``exact_dedup``: images_table -> sha2(bytes) hash-shuffle ->
   duplicate-class agg. The one image op with an exchange — the linear
   dedup pass of a 10^12-image curation pipeline.
+- ``wds_write``: images_table -> range partition -> task-local tar
+  shard writes + lineage manifest. The export path (write throughput,
+  the analog of the reference's FeatureInserter buffered sink).
 
 Usage:
   python tools/scaling_image.py [sf_dir] [n_small] [n_big]   # parent
@@ -26,7 +29,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-JOBS = ("patchify", "exact_dedup")
+JOBS = ("patchify", "exact_dedup", "wds_write")
 
 
 def child(job: str, cores: int, sf_dir: str) -> None:
@@ -76,12 +79,29 @@ def child(job: str, cores: int, sf_dir: str) -> None:
                 {"wsum": "sum", "psum": "count"})
         return imageops.exact_dedup_images(imgs)
 
+    def run_once() -> None:
+        if job == "wds_write":
+            # The tar export path: synthesize + pack + write shards, then
+            # drop them — the sink's manifest materialization IS the job.
+            import shutil
+            import tempfile
+
+            from opengxt_spark import wds
+
+            d = tempfile.mkdtemp(prefix="wds_scale_")
+            try:
+                wds.write_wds_shards(imgs, d, target_bytes=16 << 20).count()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        else:
+            build().write.format("noop").mode("overwrite").save()
+
     # warm pass (JVM/codegen/Arrow spin-up), then timed best-of-2
-    build().write.format("noop").mode("overwrite").save()
+    run_once()
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        build().write.format("noop").mode("overwrite").save()
+        run_once()
         best = min(best, time.time() - t0)
     n = imgs.count()
     print(json.dumps({"job": job, "cores": cores, "sec": round(best, 3),
