@@ -3824,6 +3824,10 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verification; the repo's own full gate (tools/check_oracle.py, published
 # as CORRECTNESS_full_r4.json) covers all registered queries every round.
 _GATE_PRIORITY = [
+    # newest in round 4 (oracle-backed): training-pipeline + spatial x image
+    "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
+    "image_train_split", "image_diversity", "image_shard_plan",
+    "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",
     # new in round 4 (oracle-backed)
     "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
     "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",
