@@ -213,6 +213,43 @@ def main() -> None:
     if "image_tile_assign" in timings and timings["image_tile_assign"] > 0:
         n_tiles = QUERY_BUILDERS["image_tile_assign"](ins).count()
         tiles_per_sec = round(n_tiles / timings["image_tile_assign"], 1)
+    # Image-pipeline leg (BASELINE metric's image-table axis): decode-bearing
+    # patchify scan and the WebDataset tar export, timed at raw sf (no
+    # replication — the decode path is per-image compute, already seconds
+    # here). Separate keys so the headline `value` stays round-comparable.
+    image_timings: dict[str, float] = {}
+    n_images = 0
+    if os.environ.get("BENCH_IMAGE", "1") == "1" and not os.environ.get(
+        "BENCH_QUERIES"
+    ):
+        import shutil
+        import tempfile
+
+        from opengxt_spark import imageops, wds
+
+        imgs = raster.with_bytes(raster.images_meta(spark, sf_dir))
+        n_images = imgs.count()
+
+        def img_job(job: str) -> None:
+            if job == "patchify":
+                imageops.patchify_images(imgs).groupBy().agg(
+                    {"wsum": "sum", "psum": "count"}
+                ).write.format("noop").mode("overwrite").save()
+            else:
+                d = tempfile.mkdtemp(prefix="bench_wds_")
+                try:
+                    wds.write_wds_shards(imgs, d, target_bytes=16 << 20).count()
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+        for job in ("patchify", "wds_write"):
+            img_job(job)  # warm (codegen + Arrow spin-up)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                img_job(job)
+                best = min(best, time.time() - t0)
+            image_timings[job] = round(best, 3)
     print(
         json.dumps(
             {
@@ -228,6 +265,14 @@ def main() -> None:
                     n_events * len(timings) / total, 1
                 ),
                 "throughput_tiles_per_sec": tiles_per_sec,
+                "image_queries": image_timings,
+                "n_images": n_images,
+                "throughput_images_per_sec": round(
+                    n_images * len(image_timings) / sum(image_timings.values()),
+                    1,
+                )
+                if image_timings
+                else None,
             }
         )
     )

@@ -1009,6 +1009,36 @@ def q_images_in_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_ZONE_ORACLE = f"""
+{world.oracle_cte('rects_customer')},
+m AS ({raster.IMAGES_META_SQL_DUCK})
+SELECT r.rid AS rid, {imageops.SPLIT_CASE_SQL} AS split,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM rects_customer r
+JOIN m ON m.fx >= r.cx - r.hw AND m.fx <= r.cx + r.hw
+      AND m.fy >= r.cy - r.hh AND m.fy <= r.cy + r.hh
+GROUP BY r.rid, split
+"""
+
+
+@_register("split_zone_balance", _SPLIT_ZONE_ORACLE)
+def q_split_zone_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: the deterministic train/val/test split
+    layered onto the per-zone PIP join -> (rid, split, cnt) — the
+    "is my validation set geographically balanced" audit. Built from the
+    public pair-level join (`joins.pip_pairs_join`) plus the shared split
+    expression; one broadcast cell join, one aggregation."""
+    pts = (
+        raster.images_meta(spark, sf_dir)
+        .selectExpr("image_id", "fx AS x", "fy AS y")
+        .withColumn("split", F.expr(imageops.SPLIT_CASE_SQL))
+    )
+    pairs = joins.pip_pairs_join(pts, world.rects_customer(spark, sf_dir))
+    return pairs.groupBy("rid", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 @_register("image_dedup_canonical", imageops.dedup_canonical_oracle_sql())
 def q_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup survivor set over the FULL image table: the canonical
@@ -3827,7 +3857,7 @@ _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
-    "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",
+    "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical", "split_zone_balance",
     # new in round 4 (oracle-backed)
     "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
     "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",

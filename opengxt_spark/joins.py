@@ -230,6 +230,26 @@ def _next_ring_radius(
     return min(radius, max(r2, 2.0 * r))
 
 
+def pip_pairs_join(
+    points: DataFrame,
+    rects: DataFrame,
+    cell_size: float | None = None,
+    strategy: str | None = None,
+    **planner_kw,
+) -> DataFrame:
+    """Raw point-in-rect containment PAIRS (point columns x rect columns)
+    — the building block under `pip_count_join` and any custom per-group
+    aggregation over a PIP join (e.g. per-zone-per-split counts). A point
+    has exactly one cell so no pair dedup is needed (SURVEY.md §2.4 dedup
+    rule is only for multi-cell probe sides)."""
+    cs = adaptive_cell_size(rects) if cell_size is None else float(cell_size)
+    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cs)
+    r = _prep_rects(rects, cs)
+    return planner.cell_join(
+        p, r, world.rect_contains_sql("x", "y"), strategy, **planner_kw
+    )
+
+
 def pip_count_join(
     points: DataFrame,
     rects: DataFrame,
@@ -240,18 +260,12 @@ def pip_count_join(
 ) -> DataFrame:
     """Per rectangle-polygon: count and weight-sum of contained points.
 
-    Returns (rid, cnt, sum_w). A point has exactly one cell so no pair
-    dedup is needed (SURVEY.md §2.4 dedup rule is only for multi-cell
-    probe sides). cell_size defaults to the adaptive estimate from the
-    rect layer's dimensions. ``planner_kw`` (broadcast_limit, hot_min,
-    n_salt) tune the auto strategy — see planner.cell_join.
+    Returns (rid, cnt, sum_w). cell_size defaults to the adaptive
+    estimate from the rect layer's dimensions. ``planner_kw``
+    (broadcast_limit, hot_min, n_salt) tune the auto strategy — see
+    planner.cell_join.
     """
-    cs = adaptive_cell_size(rects) if cell_size is None else float(cell_size)
-    p = cells.with_point_cells(planner.ensure_parallelism(points), cell_size=cs)
-    r = _prep_rects(rects, cs)
-    joined = planner.cell_join(
-        p, r, world.rect_contains_sql("x", "y"), strategy, **planner_kw
-    )
+    joined = pip_pairs_join(points, rects, cell_size, strategy, **planner_kw)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if weight_col:
         aggs.append(F.sum(weight_col).cast("long").alias("sum_w"))

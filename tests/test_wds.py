@@ -59,6 +59,27 @@ def test_manifest_lineage_consistent(spark, sf_dir, tmp_path):
     assert sum(r.bytes for r in rows) == total
 
 
+def test_late_materialization_bit_identical(spark, sf_dir, tmp_path):
+    """The payload= late-materialization sink (metadata-only shuffle,
+    writer-side byte synthesis) produces bit-identical shard files to the
+    generic bytes-shuffled sink on the same input."""
+    meta = raster.images_meta(spark, sf_dir).where("okey % 13 = 5")
+    digests = []
+    for d, src, payload in (
+        ("bytes", raster.with_bytes(meta), None),
+        ("late", meta, raster.payload_rgb8),
+    ):
+        out = str(tmp_path / d)
+        m = wds.write_wds_shards(src, out, target_bytes=1 << 18,
+                                 payload=payload)
+        assert m.agg(F.sum("rows")).first()[0] == meta.count()
+        digests.append({
+            os.path.basename(p): hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(os.path.join(out, "*.tar")))
+        })
+    assert digests[0] == digests[1] and digests[0]
+
+
 def test_deterministic_re_export(spark, sf_dir, tmp_path):
     """Same data exported twice -> bit-identical shard files (tar
     metadata pinned: mtime=0, uid/gid=0, members in okey order)."""
@@ -140,3 +161,16 @@ def test_image_diversity_matches_numpy(spark, sf_dir):
         v = raster.gen_pixels(r.okey, r.w, r.h).reshape(-1)
         c = np.bincount(v // 16, minlength=16).astype(np.int64)
         assert got[r.image_id] == (int(c.sum()), int((c * c).sum()))
+
+
+def test_split_zone_balance_consistent(spark, sf_dir):
+    """Sum over splits of the (rid, split) counts == the per-zone image
+    count, and every count is positive."""
+    from opengxt_spark import driver_queries as dq
+
+    zb = dq.QUERIES["split_zone_balance"](spark, sf_dir)
+    zones = dq.QUERIES["images_in_zones"](spark, sf_dir)
+    a = {r.rid: r.total for r in
+         zb.groupBy("rid").agg(F.sum("cnt").alias("total")).collect()}
+    b = {r.rid: r.cnt for r in zones.collect()}
+    assert a == b and a

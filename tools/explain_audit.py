@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from opengxt_spark import (  # noqa: E402
-    ann, autocorr, binning, geo, joins, raster, shapefile, transforms_geom,
-    world,
+    ann, autocorr, binning, geo, imageops, joins, quadkey, raster, shapefile,
+    transforms_geom, wds, world,
 )
 from opengxt_spark.session import get_spark  # noqa: E402
 
@@ -110,6 +110,22 @@ def main() -> None:
          ann.ann_topk_ivf(spark, stride=20), False),
         ("shp_roundtrip_points (binaryFile shards -> Arrow parse by design)",
          shapefile.shp_roundtrip_points(spark, sf_dir), True),
+        ("images_in_zones (image-table PIP cell join)",
+         joins.pip_count_join(
+             meta.selectExpr("image_id", "fx AS x", "fy AS y",
+                             "CAST(w AS BIGINT) * h AS px"),
+             rc, weight_col="px"), False),
+        ("image_quadkey_rollup (cell agg + parent rollups from cells)",
+         quadkey.quadkey_rollup(
+             meta.selectExpr("fx AS x", "fy AS y",
+                             "CAST(w AS BIGINT) * h AS w")), False),
+        ("image_train_split (portable md5 bucket, pure codegen)",
+         imageops.train_split(meta), False),
+        ("wds read (binaryFile tar shards -> Arrow parse by design)",
+         wds.read_wds_shards(spark, wds.wds_fixture(spark, sf_dir)), True),
+        ("image_augment_chain (fused single mapInPandas by design)",
+         imageops.augment_chain_images(
+             raster.with_bytes(meta), 14, 12), True),
     ]
     out = ["# PLANS — physical-plan audit of headline operators", ""]
     out.append(
