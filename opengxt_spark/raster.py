@@ -148,6 +148,17 @@ def with_bytes(meta: DataFrame, fmt: str = "rgb8") -> DataFrame:
     return planner.ensure_parallelism(meta).mapInPandas(gen, schema=schema)
 
 
+def payload_rgb8(pdf: pd.DataFrame) -> list:
+    """Late-materialization hook for `wds.write_wds_shards(payload=...)`:
+    synthesize the deterministic rgb8 payload from a metadata frame.
+    Models the pointer-dereference a stored-image pipeline would do at
+    the writer (object-store range read) — here the 'pointer' is okey."""
+    return [
+        gen_pixels(int(k), int(w_), int(h_)).tobytes()
+        for k, w_, h_ in zip(pdf["okey"], pdf["w"], pdf["h"])
+    ]
+
+
 def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BASELINE.json input-shape table:
     (image_id, bytes, w, h, fmt, caption, phash) + footprint origin."""

@@ -79,22 +79,38 @@ def write_wds_shards(
     images: DataFrame,
     out_dir: str,
     target_bytes: int = TARGET_SHARD_BYTES,
+    payload=None,
 ) -> DataFrame:
     """Write the image table as WebDataset tar shards; return the manifest.
 
-    ``images`` must carry (image_id, okey, w, h, fmt, caption, bytes).
-    Returns the per-shard lineage manifest DataFrame (already persisted to
-    ``out_dir/_manifest`` as parquet); the write itself happens when the
-    manifest is materialized, exactly like the shapefile sink.
+    ``images`` must carry (image_id, okey, w, h, fmt, caption) plus a
+    ``bytes`` column when ``payload`` is None. Returns the per-shard
+    lineage manifest DataFrame (already persisted to ``out_dir/_manifest``
+    as parquet); the write itself happens when the manifest is
+    materialized, exactly like the shapefile sink.
+
+    ``payload``: optional LATE-MATERIALIZATION hook — a callable
+    ``(pdf: pd.DataFrame) -> sequence[bytes]`` invoked inside the writer
+    task on the shard's metadata frame. When set, only the (small)
+    metadata rows flow through the range shuffle and the heavy payload is
+    materialized at the writer — the 10^12-scale export shape (shuffle
+    pointers, not pixels: at 100 TB the shuffle of raw bytes is bounded
+    by aggregate shuffle-disk bandwidth, while the metadata shuffle is
+    ~10^-3 of it; the range-partitioner's sampling pass also evaluates
+    only the cheap metadata plan). For real stored images the hook is a
+    pointer-dereference (object-store range read); for the synthetic
+    table it is the deterministic generator (`raster.payload_rgb8`).
+    The output shards are BIT-IDENTICAL to the bytes-shuffled path.
     """
     os.makedirs(out_dir, exist_ok=True)
+    cols = ["image_id", "okey", "w", "h", "fmt", "caption"]
+    if payload is None:
+        cols.append("bytes")
     n, total = images.agg(
         F.count("*"), F.sum(F.expr("CAST(w AS BIGINT) * h * 3"))
     ).first()
     n_shards = max(2, -(-int(total or 0) // target_bytes))
-    parts = images.select(
-        "image_id", "okey", "w", "h", "fmt", "caption", "bytes"
-    ).repartitionByRange(n_shards, "okey")
+    parts = images.select(*cols).repartitionByRange(n_shards, "okey")
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -106,6 +122,8 @@ def write_wds_shards(
         if not rows:
             return
         pdf = pd.concat(rows).sort_values("okey")
+        if payload is not None:
+            pdf = pdf.assign(bytes=list(payload(pdf)))
         fn = os.path.join(out_dir, f"shard-{pid:05d}.tar")
         nbytes = 0
         with tarfile.open(fn, "w") as tf:
@@ -116,9 +134,9 @@ def write_wds_shards(
                     sort_keys=True,
                 ).encode()
                 _tar_add(tf, f"{r.image_id}.json", meta)
-                payload = bytes(r.bytes)
-                _tar_add(tf, f"{r.image_id}.{r.fmt}", payload)
-                nbytes += len(payload)
+                blob = bytes(r.bytes)
+                _tar_add(tf, f"{r.image_id}.{r.fmt}", blob)
+                nbytes += len(blob)
         yield pd.DataFrame({
             "file": [os.path.basename(fn)],
             "rows": [len(pdf)],

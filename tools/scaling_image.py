@@ -29,7 +29,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-JOBS = ("patchify", "exact_dedup", "wds_write")
+JOBS = ("patchify", "exact_dedup", "wds_write", "wds_write_late")
 
 
 def child(job: str, cores: int, sf_dir: str) -> None:
@@ -80,17 +80,25 @@ def child(job: str, cores: int, sf_dir: str) -> None:
         return imageops.exact_dedup_images(imgs)
 
     def run_once() -> None:
-        if job == "wds_write":
+        if job.startswith("wds_write"):
             # The tar export path: synthesize + pack + write shards, then
             # drop them — the sink's manifest materialization IS the job.
+            # `wds_write` shuffles the byte rows (generic path, bounded by
+            # single-disk shuffle bandwidth in local mode); `wds_write_late`
+            # shuffles metadata only and materializes payload at the writer
+            # (the 10^12-scale shape — shuffle pointers, not pixels).
             import shutil
             import tempfile
 
             from opengxt_spark import wds
 
             d = tempfile.mkdtemp(prefix="wds_scale_")
+            late = job.endswith("_late")
             try:
-                wds.write_wds_shards(imgs, d, target_bytes=16 << 20).count()
+                wds.write_wds_shards(
+                    meta if late else imgs, d, target_bytes=16 << 20,
+                    payload=raster.payload_rgb8 if late else None,
+                ).count()
             finally:
                 shutil.rmtree(d, ignore_errors=True)
         else:
@@ -115,8 +123,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    jobs = [j for j in JOBS
+            if j in os.environ.get("IMG_JOBS", ",".join(JOBS)).split(",")]
     results: dict[str, dict[int, dict]] = {}
-    for job in JOBS:
+    for job in jobs:
         results[job] = {}
         for cores in (n_small, n_big):  # ladder: both levels back-to-back
             out = subprocess.run(
@@ -129,7 +139,7 @@ def main() -> None:
             results[job][cores] = json.loads(line)
             print(line, flush=True)
     ratio = n_big / n_small
-    for job in JOBS:
+    for job in jobs:
         a, b = results[job][n_small], results[job][n_big]
         eff = a["sec"] / (ratio * b["sec"])
         print(f"{job}: local[{n_small}] {a['sec']}s "
