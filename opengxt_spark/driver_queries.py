@@ -1039,6 +1039,14 @@ def q_split_zone_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("split_leakage_audit", imageops.split_leakage_oracle_sql())
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling a train/val/test boundary — the split-
+    leakage quarantine list. Split rides the phash chunk shuffle
+    (carry=), so the audit costs exactly the near-dup join."""
+    return imageops.split_leakage(spark, sf_dir)
+
+
 @_register("image_dedup_canonical", imageops.dedup_canonical_oracle_sql())
 def q_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup survivor set over the FULL image table: the canonical
@@ -3857,7 +3865,8 @@ _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
-    "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical", "split_zone_balance",
+    "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",
+    "split_zone_balance", "split_leakage_audit",
     # new in round 4 (oracle-backed)
     "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
     "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",

@@ -1079,6 +1079,39 @@ FROM m GROUP BY split
 """
 
 
+def split_leakage(spark, sf_dir: str, max_hamming: int = 3):
+    """Train/val/test LEAKAGE audit: near-duplicate image pairs (phash
+    Hamming <= max_hamming) whose two members landed in DIFFERENT splits
+    — the rows a curation pipeline must quarantine before the validation
+    metric means anything. Composition of the pigeonhole phash near-dup
+    join with the deterministic split expression, the split CARRIED
+    through the existing chunk shuffle (no extra meta joins; see
+    `raster.phash_neardup(carry=...)`). Output one row per leaking pair:
+    (okey_a, okey_b, hamming, split_a, split_b)."""
+    from . import raster
+
+    pairs = raster.phash_neardup(
+        spark, sf_dir, max_hamming, carry={"split": SPLIT_CASE_SQL}
+    )
+    return pairs.where("split_a != split_b")
+
+
+def split_leakage_oracle_sql(max_hamming: int = 3) -> str:
+    from . import raster
+
+    return f"""
+WITH pairs AS ({raster.phash_neardup_oracle(max_hamming)}),
+m AS ({_FULL_META}),
+s AS (SELECT okey, {SPLIT_CASE_SQL} AS split FROM m)
+SELECT p.okey_a, p.okey_b, p.hamming,
+       sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN s sa ON sa.okey = p.okey_a
+JOIN s sb ON sb.okey = p.okey_b
+WHERE sa.split <> sb.split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Image diversity score (exact-integer Gini-Simpson over the histogram)
 # ---------------------------------------------------------------------------

@@ -1000,7 +1000,12 @@ FROM pix GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def phash_neardup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+def phash_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
     """Image near-dup pairs: Hamming(phash_a, phash_b) <= max_hamming.
 
     EXACT for max_hamming <= 3 by pigeonhole: the 64-bit hash splits into
@@ -1012,19 +1017,36 @@ def phash_neardup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     only at the FIRST agreeing chunk index — no distinct shuffle). This is
     the image-modality analogue of MinHash-LSH text dedup at 10^12 scale:
     one narrow explode + one equi-join, both linear.
-    Output (okey_a, okey_b, hamming).
+    Output (okey_a, okey_b, hamming) [+ carried columns].
+
+    ``carry``: {name: sql_expr over IMAGES_META columns} — extra per-image
+    attributes propagated THROUGH the pair join as ``{name}_a``/``{name}_b``
+    (e.g. the train/val/test split for a leakage audit). Riding the
+    existing chunk shuffle costs a few bytes per row; joining the
+    attribute back onto the pairs afterwards would cost two more shuffles
+    of the full meta table.
     """
     world.register_tables(spark, sf_dir)
-    meta = spark.sql(IMAGES_META_SQL).select("okey", "phash")
+    carry = carry or {}
+    meta = spark.sql(IMAGES_META_SQL).selectExpr(
+        "okey", "phash", *(f"{sql} AS {nm}" for nm, sql in carry.items())
+    )
     meta = planner.ensure_parallelism(meta)
     chunks = meta.withColumn(
         "ci", F.expr("explode(sequence(0, 3))")
     ).selectExpr(
         "okey", "phash", "ci",
         "SHIFTRIGHT(phash, ci * 16) & 65535 AS chunk",
+        *carry,
     )
-    a = chunks.selectExpr("okey AS okey_a", "phash AS ph_a", "ci", "chunk")
-    b = chunks.selectExpr("okey AS okey_b", "phash AS ph_b", "ci", "chunk")
+
+    def side(tag: str) -> DataFrame:
+        return chunks.selectExpr(
+            f"okey AS okey_{tag}", f"phash AS ph_{tag}", "ci", "chunk",
+            *(f"{nm} AS {nm}_{tag}" for nm in carry),
+        )
+
+    a, b = side("a"), side("b")
     cand = a.join(b, on=["ci", "chunk"], how="inner").where(
         F.col("okey_a") < F.col("okey_b")
     )
@@ -1039,9 +1061,9 @@ def phash_neardup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         "WHEN (SHIFTRIGHT(ph_a, 32) & 65535) = (SHIFTRIGHT(ph_b, 32) & 65535) THEN 2 "
         "ELSE 3 END"
     )
-    return (
-        hit.where(F.col("ci") == first_ci)
-        .select("okey_a", "okey_b", F.col("hamming").cast("long").alias("hamming"))
+    return hit.where(F.col("ci") == first_ci).select(
+        "okey_a", "okey_b", F.col("hamming").cast("long").alias("hamming"),
+        *(f"{nm}_{t}" for nm in carry for t in ("a", "b")),
     )
 
 

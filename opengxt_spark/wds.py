@@ -80,6 +80,7 @@ def write_wds_shards(
     out_dir: str,
     target_bytes: int = TARGET_SHARD_BYTES,
     payload=None,
+    resume: bool = False,
 ) -> DataFrame:
     """Write the image table as WebDataset tar shards; return the manifest.
 
@@ -101,6 +102,16 @@ def write_wds_shards(
     pointer-dereference (object-store range read); for the synthetic
     table it is the deterministic generator (`raster.payload_rgb8`).
     The output shards are BIT-IDENTICAL to the bytes-shuffled path.
+
+    ``resume``: crash-resume an interrupted export. Every shard is
+    written via temp-file + atomic rename (task-commit), so a final
+    shard file that exists is complete; with ``resume=True`` those
+    tasks skip the payload materialization and tar write and only
+    re-emit their manifest rows. Shard content is a pure function of
+    the data, so the resumed output is bit-identical to a fresh export
+    (pytest-pinned). Parity: the reference's FeatureInserter buffered
+    sink commits per-batch (`GT/storage/FeatureInserter.java:60`); here
+    the commit grain is the shard and the ledger is `_manifest`.
     """
     os.makedirs(out_dir, exist_ok=True)
     cols = ["image_id", "okey", "w", "h", "fmt", "caption"]
@@ -122,21 +133,37 @@ def write_wds_shards(
         if not rows:
             return
         pdf = pd.concat(rows).sort_values("okey")
-        if payload is not None:
-            pdf = pdf.assign(bytes=list(payload(pdf)))
         fn = os.path.join(out_dir, f"shard-{pid:05d}.tar")
-        nbytes = 0
-        with tarfile.open(fn, "w") as tf:
-            for r in pdf.itertuples(index=False):
-                meta = json.dumps(
-                    {"okey": int(r.okey), "w": int(r.w), "h": int(r.h),
-                     "fmt": str(r.fmt), "caption": str(r.caption)},
-                    sort_keys=True,
-                ).encode()
-                _tar_add(tf, f"{r.image_id}.json", meta)
-                blob = bytes(r.bytes)
-                _tar_add(tf, f"{r.image_id}.{r.fmt}", blob)
-                nbytes += len(blob)
+        # Skip-path manifest bytes: actual payload lengths when the bytes
+        # column is present; the raw-rgb8 size otherwise (the late-
+        # materialization hook contract is raw rgb8).
+        nbytes = int(
+            pdf["bytes"].map(len).sum() if "bytes" in pdf.columns else
+            (pdf["w"].astype("int64") * pdf["h"].astype("int64") * 3).sum()
+        )
+        if not (resume and os.path.exists(fn)):
+            # Task-commit protocol: write to a task-private temp, then
+            # atomically rename — a shard file that EXISTS is complete, so
+            # a resumed run can skip it without verification (same
+            # contract as checkpoint.py's snapshot commit). Shard content
+            # is a pure function of the data (deterministic boundaries,
+            # okey order, pinned tar metadata), so skipping is safe.
+            if payload is not None:
+                pdf = pdf.assign(bytes=list(payload(pdf)))
+            tmp = f"{fn}.inprogress-{os.getpid()}"
+            nbytes = 0
+            with tarfile.open(tmp, "w") as tf:
+                for r in pdf.itertuples(index=False):
+                    meta = json.dumps(
+                        {"okey": int(r.okey), "w": int(r.w), "h": int(r.h),
+                         "fmt": str(r.fmt), "caption": str(r.caption)},
+                        sort_keys=True,
+                    ).encode()
+                    _tar_add(tf, f"{r.image_id}.json", meta)
+                    blob = bytes(r.bytes)
+                    _tar_add(tf, f"{r.image_id}.{r.fmt}", blob)
+                    nbytes += len(blob)
+            os.replace(tmp, fn)
         yield pd.DataFrame({
             "file": [os.path.basename(fn)],
             "rows": [len(pdf)],

@@ -80,6 +80,38 @@ def test_late_materialization_bit_identical(spark, sf_dir, tmp_path):
     assert digests[0] == digests[1] and digests[0]
 
 
+def test_crash_resume_rewrites_only_missing(spark, sf_dir, tmp_path):
+    """Simulated crash (half the shard files deleted, manifest gone):
+    a resume=True re-run restores the missing shards WITHOUT rewriting
+    the survivors, and the final directory is bit-identical to the
+    original full export."""
+    out = str(tmp_path / "shards")
+    meta = raster.images_meta(spark, sf_dir).where("okey % 7 = 1")
+    wds.write_wds_shards(meta, out, target_bytes=1 << 16,
+                         payload=raster.payload_rgb8)
+
+    def digest():
+        return {
+            os.path.basename(p): hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(os.path.join(out, "*.tar")))
+        }
+
+    full = digest()
+    tars = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert len(tars) >= 4
+    for p in tars[::2]:
+        os.remove(p)
+    survivors = {p: os.stat(p).st_mtime_ns for p in tars[1::2]}
+    manifest = wds.write_wds_shards(meta, out, target_bytes=1 << 16,
+                                    payload=raster.payload_rgb8, resume=True)
+    assert digest() == full
+    # survivors were skipped, not rewritten (mtime untouched)
+    assert {p: os.stat(p).st_mtime_ns for p in survivors} == survivors
+    # manifest rows cover every shard with correct lineage totals
+    assert manifest.agg(F.sum("rows")).first()[0] == meta.count()
+    assert sorted(r.file for r in manifest.collect()) == sorted(full)
+
+
 def test_deterministic_re_export(spark, sf_dir, tmp_path):
     """Same data exported twice -> bit-identical shard files (tar
     metadata pinned: mtime=0, uid/gid=0, members in okey order)."""
