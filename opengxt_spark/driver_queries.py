@@ -1039,6 +1039,13 @@ def q_split_zone_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("caption_collision_audit", imageops.caption_collision_oracle_sql())
+def q_caption_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption classes labeling >1 distinct content — the label-noise
+    groups a caption-dedup would wrongly collapse."""
+    return imageops.caption_collision(spark, sf_dir)
+
+
 @_register("split_leakage_audit", imageops.split_leakage_oracle_sql())
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs straddling a train/val/test boundary — the split-
@@ -3866,7 +3873,7 @@ _GATE_PRIORITY = [
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
     "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",
-    "split_zone_balance", "split_leakage_audit",
+    "split_zone_balance", "split_leakage_audit", "caption_collision_audit",
     # new in round 4 (oracle-backed)
     "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
     "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",

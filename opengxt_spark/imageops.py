@@ -1079,6 +1079,46 @@ FROM m GROUP BY split
 """
 
 
+#: caption normalization for collision classes: digit runs collapse to
+#: '#' ('cap 2-HIGH 4711' -> 'cap #-HIGH #'), so captions differing only
+#: in serial numbers/ids land in one class.
+CAPTION_CLASS_SQL = "regexp_replace(caption, '[0-9]+', '#')"
+
+
+def caption_collision(spark, sf_dir: str):
+    """Label-noise audit: caption CLASSES (digit runs normalized away)
+    attached to more than one distinct image content (phash proxy) — the
+    groups a naive caption-dedup would wrongly collapse and a trainer
+    should weight or re-caption. One hash aggregation over the metadata
+    (map-side partial agg, linear at 10^12 rows). Output
+    (caption_class, n_images, n_contents, okey_min)."""
+    from . import raster
+
+    meta = raster.images_meta(spark, sf_dir)
+    return (
+        meta.groupBy(F.expr(CAPTION_CLASS_SQL).alias("caption_class"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_contents"),
+            F.min("okey").alias("okey_min"),
+        )
+        .where("n_contents > 1")
+    )
+
+
+def caption_collision_oracle_sql() -> str:
+    from . import raster
+
+    return f"""
+WITH m AS ({raster.IMAGES_META_SQL_DUCK})
+SELECT regexp_replace(caption, '[0-9]+', '#', 'g') AS caption_class,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_contents,
+       CAST(MIN(okey) AS BIGINT) AS okey_min
+FROM m GROUP BY caption_class HAVING COUNT(DISTINCT phash) > 1
+"""
+
+
 def split_leakage(spark, sf_dir: str, max_hamming: int = 3):
     """Train/val/test LEAKAGE audit: near-duplicate image pairs (phash
     Hamming <= max_hamming) whose two members landed in DIFFERENT splits
