@@ -104,10 +104,17 @@ def child(job: str, cores: int, sf_dir: str) -> None:
         else:
             build().write.format("noop").mode("overwrite").save()
 
-    # warm pass (JVM/codegen/Arrow spin-up), then timed best-of-2
+    # warm pass (JVM/codegen/Arrow spin-up), then timed best-of-N.
+    # Between runs, drain the page-cache writeback queue OUTSIDE the
+    # timer: the wds jobs write ~2.4 GB of shards per run and deferred
+    # flushes from run k otherwise stall run k+1's writes (measured
+    # swings of 20-44 s for identical runs on this VM's shared virtio
+    # disk) — each timed run should pay for its own I/O only.
     run_once()
     best = float("inf")
-    for _ in range(2):
+    reps = 3 if job.startswith("wds_write") else 2
+    for _ in range(reps):
+        os.sync()
         t0 = time.time()
         run_once()
         best = min(best, time.time() - t0)
