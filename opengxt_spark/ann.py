@@ -596,3 +596,310 @@ def ann_topk_ivf_oracle(
     quantizer, shortlists, fallbacks, and tie-breaks, so the gate pair
     agrees exactly. ``m`` must match the Spark side's plane count."""
     return _ivf_topk_sql(stride, m, k, query_mod, probes, "duck")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ): the compressed-domain scale path.
+#
+# At 10^12 vectors the float payload itself is the bottleneck: 64 floats =
+# 256 B/vector = 256 TB of embedding state. PQ (Jegou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011) splits
+# each vector into PQ_M subspaces and stores only the id of the nearest
+# per-subspace codeword — PQ_M bytes/vector (32x compression here), and
+# query-time distance is ADC (asymmetric distance computation): the exact
+# query sub-vector against the candidate's CODEWORD per subspace, summed.
+#
+# Engine-shared construction (the ann.py determinism trick): codebooks are
+# DATA-SAMPLED, not k-means-trained — codeword c of every subspace is the
+# sub-vector of the vector with vec_id = c*cstride + 2 (deterministic, no
+# RNG, same degenerate-but-standard sampling as the IVF centroids above) —
+# so encoding and ADC are pure SQL over IEEE doubles and ONE text runs
+# bit-identically on Spark and DuckDB: PQ is fully oracle-gated, not
+# rows-only. At scale the 16-row codeword table is a broadcast LUT; the
+# candidate scan touches only the PQ_M-byte code columns (the 8 joins
+# below ARE the LUT lookups), never the raw float arrays.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                  # subspaces
+PQ_SUB = DIM // PQ_M      # dims per subspace
+PQ_K = 16                 # codewords per subspace (4-bit codes)
+
+#: Gate-pinned codebook stride: codeword ids c*31 + 2 exist at every sf the
+#: gate runs (needs n >= 467). The dynamic default derives cstride from the
+#: collection size (pq_cstride_for) — gate wrappers pin this constant so the
+#: Spark query and the static oracle SQL agree at EVERY sf (the
+#: ann_topk_lsh planes_for lesson).
+PQ_CSTRIDE_GATE = 31
+
+
+def pq_cstride_for(n: int) -> int:
+    """Codebook-sampling stride: PQ_K codewords spread evenly over the id
+    range (ids c*cstride + 2, c in [0, PQ_K))."""
+    return max(n // PQ_K, 1)
+
+
+def _subdist_spark(j: int, a: str, b: str) -> str:
+    """L2^2 between subspace-j slices: fold i ascending, diff bound once."""
+    lo = j * PQ_SUB
+    return (
+        f"aggregate(transform(sequence({lo}, {lo + PQ_SUB - 1}), "
+        f"i -> CAST(element_at({a}, i + 1) AS DOUBLE) "
+        f"- CAST(element_at({b}, i + 1) AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    )
+
+
+def _subdist_duck(j: int, a: str, b: str) -> str:
+    lo = j * PQ_SUB
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE) "
+        f"for i in range({lo + 1}, {lo + PQ_SUB + 1})]), "
+        "(acc, v) -> acc + v * v)"
+    )
+
+
+def _pq_enc_sql(cstride: int, engine: str, src: str = "embeddings") -> str:
+    """Shared CTE chain ``cw`` (codebook) + ``enc`` (codes per vector).
+
+    cw: the PQ_K sampled codewords. enc: per-vector per-subspace argmin
+    codes c0..c{PQ_M-1} — ties broken on smallest code, the engine-shared
+    ROW_NUMBER pattern. Work: n * PQ_K sub-distance folds per subspace
+    against a broadcast 16-row table — O(n), embarrassingly parallel.
+    """
+    sub = _subdist_spark if engine == "spark" else _subdist_duck
+    dcols = ",\n         ".join(
+        f"{sub(j, 'e.embedding', 'w.cw_emb')} AS d{j}" for j in range(PQ_M)
+    )
+    rcols = ",\n         ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{j} ASC, code ASC)"
+        f" AS r{j}"
+        for j in range(PQ_M)
+    )
+    ccols = ",\n         ".join(
+        f"MIN(CASE WHEN r{j} = 1 THEN code END) AS c{j}" for j in range(PQ_M)
+    )
+    return f"""
+cw AS (
+  SELECT CAST(FLOOR(CAST(vec_id AS DOUBLE) / {cstride}) AS INT) AS code,
+         embedding AS cw_emb
+  FROM {src}
+  WHERE vec_id % {cstride} = 2
+    AND CAST(FLOOR(CAST(vec_id AS DOUBLE) / {cstride}) AS INT) < {PQ_K}
+),
+ecand AS (
+  SELECT e.vec_id, w.code,
+         {dcols}
+  FROM {src} e CROSS JOIN cw w
+),
+erank AS (
+  SELECT vec_id, code,
+         {rcols}
+  FROM ecand
+),
+enc AS (
+  SELECT vec_id,
+         {ccols}
+  FROM erank GROUP BY vec_id
+)"""
+
+
+def _pq_codes_sql(cstride: int, engine: str) -> str:
+    cast = (
+        "CAST(vec_id AS BIGINT) AS vec_id" if engine == "duck" else "vec_id"
+    )
+    cols = ", ".join(f"CAST(c{j} AS INT) AS c{j}" for j in range(PQ_M))
+    return (
+        "WITH " + _pq_enc_sql(cstride, engine)
+        + f"\nSELECT {cast}, {cols} FROM enc"
+    )
+
+
+def pq_codes(spark: SparkSession, cstride: int | None = None) -> DataFrame:
+    """PQ-encode the embeddings table: (vec_id, c0..c7), one 4-bit code per
+    subspace — the vector's entire stored footprint in the compressed
+    index (PQ_M bytes vs DIM*4 = 32x)."""
+    if cstride is None:
+        from . import planner
+
+        cstride = pq_cstride_for(planner.cached_count(spark.table("embeddings")))
+    return spark.sql(_pq_codes_sql(cstride, "spark"))
+
+
+def pq_codes_oracle(cstride: int = PQ_CSTRIDE_GATE) -> str:
+    return _pq_codes_sql(cstride, "duck")
+
+
+def _pq_adc_sql(
+    cstride: int, k: int, query_mod: int, engine: str
+) -> str:
+    """ADC top-k: exact query sub-vectors vs candidate CODEWORDS.
+
+    The candidate side never touches its float array — the 8 cw joins are
+    the LUT lookups of compressed-domain search (on a cluster: 16-row
+    broadcast x 8, candidate scan reads only the byte codes). adist is the
+    left-to-right sum of the 8 per-subspace folds — one expression text,
+    bit-identical on both engines.
+    """
+    sub = _subdist_spark if engine == "spark" else _subdist_duck
+    joins_ = "\n  ".join(
+        f"JOIN cw w{j} ON w{j}.code = e.c{j}" for j in range(PQ_M)
+    )
+    adist = " + ".join(
+        sub(j, "q.embedding", f"w{j}.cw_emb") for j in range(PQ_M)
+    )
+    cast_q = "CAST(qid AS BIGINT)" if engine == "duck" else "qid"
+    cast_n = "CAST(nid AS BIGINT)" if engine == "duck" else "nid"
+    return f"""
+WITH {_pq_enc_sql(cstride, engine)},
+cand AS (
+  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         {adist} AS adist
+  FROM embeddings q
+  JOIN enc e ON e.vec_id <> q.vec_id
+  {joins_}
+  WHERE q.vec_id % {query_mod} = 0
+)
+SELECT {cast_q} AS qid, {cast_n} AS nid, ROUND(adist, 9) AS adist,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, adist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rnk
+  FROM cand
+) __r WHERE rnk <= {k}
+"""
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    k: int = 5,
+    query_mod: int = 25,
+    cstride: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ/ADC distance (ascending quantized L2).
+    Output (qid, nid, adist, rnk). Exact L2 top-k is the recall baseline
+    (pytest)."""
+    if cstride is None:
+        from . import planner
+
+        cstride = pq_cstride_for(planner.cached_count(spark.table("embeddings")))
+    return spark.sql(_pq_adc_sql(cstride, k, query_mod, "spark"))
+
+
+def pq_adc_topk_oracle(
+    k: int = 5, query_mod: int = 25, cstride: int = PQ_CSTRIDE_GATE
+) -> str:
+    return _pq_adc_sql(cstride, k, query_mod, "duck")
+
+
+def _ivfpq_topk_sql(
+    stride: int, m: int, cstride: int, k: int, query_mod: int, probes: int,
+    engine: str,
+) -> str:
+    """IVF-PQ: the two-level IVF probe restricts candidates to the
+    ``probes`` nearest lists, ADC ranks them in the compressed domain —
+    the full Jegou-style pipeline. Candidate work per query:
+    probes * (n/C) code-LUT sums; no float array is read on the candidate
+    side. CTE reuse: the IVF assignment/probing text is _ivf_topk_sql's,
+    the encoding is _pq_enc_sql's.
+    """
+    sub = _subdist_spark if engine == "spark" else _subdist_duck
+    if engine == "spark":
+        fdot = _dot_spark("u.embedding", "c.cemb")
+        fne = _dot_spark("u.embedding", "u.embedding")
+        nc = _dot_spark("c.cemb", "c.cemb")
+    else:
+        fdot = _dot_duck("u.embedding", "c.cemb")
+        fne = _dot_duck("u.embedding", "u.embedding")
+        nc = _dot_duck("c.cemb", "c.cemb")
+    joins_ = "\n  ".join(
+        f"JOIN cw w{j} ON w{j}.code = e.c{j}" for j in range(PQ_M)
+    )
+    adist = " + ".join(
+        sub(j, "q.embedding", f"w{j}.cw_emb") for j in range(PQ_M)
+    )
+    cast_q = "CAST(qid AS BIGINT)" if engine == "duck" else "qid"
+    cast_n = "CAST(nid AS BIGINT)" if engine == "duck" else "nid"
+    return f"""
+WITH {_ivf_assign_sql(stride, m, engine)},
+{_pq_enc_sql(cstride, engine).lstrip()},
+qcand AS (
+  SELECT vec_id AS qid, cid, cosc FROM acand
+  WHERE vec_id % {query_mod} = 0
+),
+qlong AS (
+  SELECT qid FROM qcand GROUP BY qid HAVING COUNT(*) >= {probes}
+),
+qbest AS (
+  SELECT qid, cid FROM (
+    SELECT qc.qid, qc.cid,
+           ROW_NUMBER() OVER (PARTITION BY qc.qid
+                              ORDER BY qc.cosc DESC, qc.cid ASC) AS rn
+    FROM qcand qc JOIN qlong ql ON ql.qid = qc.qid
+  ) __qb WHERE rn <= {probes}
+),
+qfall AS (
+  SELECT qid, cid FROM (
+    SELECT u.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {fdot} / (SQRT({fne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+          WHERE e.vec_id % {query_mod} = 0
+            AND NOT EXISTS (SELECT 1 FROM qlong s
+                            WHERE s.qid = e.vec_id)) u
+    CROSS JOIN cbuck c
+  ) __qf WHERE rn <= {probes}
+),
+qprobes AS (
+  SELECT * FROM qbest UNION ALL SELECT * FROM qfall
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid,
+         {adist} AS adist
+  FROM qprobes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN enc e ON e.vec_id = a.vec_id
+  {joins_}
+  JOIN embeddings q ON q.vec_id = p.qid
+)
+SELECT {cast_q} AS qid, {cast_n} AS nid, ROUND(adist, 9) AS adist,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, adist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rnk
+  FROM cand
+) __r WHERE rnk <= {k}
+"""
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    k: int = 5,
+    query_mod: int = 25,
+    stride: int | None = None,
+    probes: int = 2,
+    m: int | None = None,
+    cstride: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse two-level IVF probing + ADC ranking
+    in the compressed domain. Output (qid, nid, adist, rnk)."""
+    from . import planner
+
+    n = planner.cached_count(spark.table("embeddings"))
+    if stride is None:
+        stride = ivf_stride_for(n)
+    if m is None:
+        m = _ivf_m_for(spark, stride)
+    if cstride is None:
+        cstride = pq_cstride_for(n)
+    return spark.sql(
+        _ivfpq_topk_sql(stride, m, cstride, k, query_mod, probes, "spark")
+    )
+
+
+def ann_topk_ivfpq_oracle(
+    k: int = 5, query_mod: int = 25, stride: int = 10, probes: int = 2,
+    m: int = 4, cstride: int = PQ_CSTRIDE_GATE,
+) -> str:
+    """DuckDB mirror of ``ann_topk_ivfpq`` — stride/m/cstride pinned to the
+    gate values on BOTH sides (sf-independent agreement)."""
+    return _ivfpq_topk_sql(stride, m, cstride, k, query_mod, probes, "duck")

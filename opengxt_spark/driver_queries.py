@@ -2688,6 +2688,44 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_ivf(spark, stride=20, m=4)
 
 
+@_register("pq_codes", ann.pq_codes_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding column: per vector,
+    the argmin codeword id in each of the 8 subspaces (4-bit codes; PQ_M
+    bytes total vs DIM*4 = 32x compression — the 10^12-vector storage
+    path). Codebooks are data-sampled (vec_id = c*31 + 2), so the whole
+    encode is engine-shared SQL and fully oracle-gated. cstride pinned to
+    PQ_CSTRIDE_GATE on both sides (the planes_for lesson); the non-gated
+    default auto-sizes from the collection (``pq_cstride_for``)."""
+    world.register_tables(spark, sf_dir)
+    return ann.pq_codes(spark, cstride=ann.PQ_CSTRIDE_GATE)
+
+
+@_register("pq_adc_topk", ann.pq_adc_topk_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (Jegou et al., TPAMI 2011): exact query
+    sub-vectors scored against candidate CODEWORDS only — the candidate
+    side reads its 8 byte-codes, never its float array; the 16-row
+    codeword table is the broadcast LUT. Exact-L2 recall floor in pytest."""
+    world.register_tables(spark, sf_dir)
+    return ann.pq_adc_topk(spark, cstride=ann.PQ_CSTRIDE_GATE)
+
+
+@_register(
+    "ann_topk_ivfpq",
+    ann.ann_topk_ivfpq_oracle(stride=20, m=4, cstride=ann.PQ_CSTRIDE_GATE),
+)
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: two-level IVF probing (O(n log C) assignment) restricts
+    candidates to the 2 nearest lists, ADC ranks them in the compressed
+    domain — the full 10^12-vector pipeline (coarse index + byte codes),
+    stride/m/cstride pinned to the oracle's values on both sides."""
+    world.register_tables(spark, sf_dir)
+    return ann.ann_topk_ivfpq(
+        spark, stride=20, m=4, cstride=ann.PQ_CSTRIDE_GATE
+    )
+
+
 # ---------------------------------------------------------------------------
 # Geometry transformer batch (transforms_geom.py)
 # ---------------------------------------------------------------------------
@@ -3870,6 +3908,7 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as CORRECTNESS_full_r4.json) covers all registered queries every round.
 _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
+    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
     "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",

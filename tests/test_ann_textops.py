@@ -190,3 +190,117 @@ def test_neardup_clusters_invariants(spark, sf_dir):
         assert cl == min(d for d, _ in members)
         assert sum(1 for _, k in members if k) == 1
         assert dict(members)[cl] is True or dict(members)[cl] == True  # noqa: E712
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC / IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def _load_vectors(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    order = sorted(range(len(t["vec_id"])), key=lambda i: t["vec_id"][i])
+    return np.array([t["embedding"][i] for i in order], dtype=np.float64)
+
+
+def test_pq_codes_bounds_and_determinism(spark, sf_dir):
+    """Every vector gets one code per subspace, all in [0, PQ_K); the
+    encoding is deterministic (data-sampled codebooks, no RNG)."""
+    world.register_tables(spark, sf_dir)
+    n = spark.table("embeddings").count()
+    rows = ann.pq_codes(spark, cstride=ann.PQ_CSTRIDE_GATE).collect()
+    assert len(rows) == n
+    for r in rows:
+        for j in range(ann.PQ_M):
+            assert 0 <= r[f"c{j}"] < ann.PQ_K
+    again = ann.pq_codes(spark, cstride=ann.PQ_CSTRIDE_GATE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_compression_contract():
+    """The stored footprint is PQ_M 4-bit codes: 32x below the raw float
+    array, and the subspaces tile the dimension exactly."""
+    assert ann.PQ_M * ann.PQ_SUB == ann.DIM
+    assert ann.PQ_K <= 16  # 4-bit codes -> PQ_M/2 bytes packed, <=PQ_M unpacked
+    raw = ann.DIM * 4          # float32 payload
+    packed = ann.PQ_M          # one byte per code (4 bits used)
+    assert raw // packed == 32
+
+
+def test_pq_adc_equals_reconstructed_l2(spark, sf_dir):
+    """ADC semantics: adist(q, c) must equal the exact L2^2 between the
+    query vector and candidate's codeword reconstruction — verified in
+    numpy from the parquet for every reported pair."""
+    import numpy as np
+
+    world.register_tables(spark, sf_dir)
+    V = _load_vectors(sf_dir)
+    cstride = ann.PQ_CSTRIDE_GATE
+    cw = {c: V[c * cstride + 2] for c in range(ann.PQ_K)}
+    codes = {
+        r["vec_id"]: [r[f"c{j}"] for j in range(ann.PQ_M)]
+        for r in ann.pq_codes(spark, cstride=cstride).collect()
+    }
+    out = ann.pq_adc_topk(spark, cstride=cstride).collect()
+    assert out
+    for r in out:
+        recon = np.concatenate([
+            cw[codes[r["nid"]][j]][j * ann.PQ_SUB:(j + 1) * ann.PQ_SUB]
+            for j in range(ann.PQ_M)
+        ])
+        want = float(((V[r["qid"]] - recon) ** 2).sum())
+        assert abs(want - r["adist"]) < 1e-6, (r, want)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """Deterministic recall floor: ADC top-5 must beat random scan by 10x
+    (synthetic near-random embeddings are PQ's worst case; measured 0.18
+    at sf0.001 vs 0.01 chance)."""
+    import numpy as np
+
+    world.register_tables(spark, sf_dir)
+    V = _load_vectors(sf_dir)
+    n = len(V)
+    qids = [i for i in range(n) if i % 25 == 0]
+    truth = {}
+    for q in qids:
+        d = ((V - V[q]) ** 2).sum(1)
+        d[q] = np.inf
+        truth[q] = set(np.lexsort((np.arange(n), d))[:5].tolist())
+    got = {}
+    for r in ann.pq_adc_topk(spark, cstride=ann.PQ_CSTRIDE_GATE).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    recall = sum(len(truth[q] & got.get(q, set())) for q in qids) / (5 * len(qids))
+    assert recall >= 10.0 * 5.0 / n, recall
+
+
+def test_ivfpq_recall_and_shape(spark, sf_dir):
+    """IVF-PQ compounds list filtering and quantization; it must still
+    beat the probes*stride/n coverage floor vs the EXACT ranking, and emit
+    dense ranks 1..k per query."""
+    import numpy as np
+
+    world.register_tables(spark, sf_dir)
+    V = _load_vectors(sf_dir)
+    n = len(V)
+    qids = [i for i in range(n) if i % 25 == 0]
+    truth = {}
+    for q in qids:
+        d = ((V - V[q]) ** 2).sum(1)
+        d[q] = np.inf
+        truth[q] = set(np.lexsort((np.arange(n), d))[:5].tolist())
+    rows = ann.ann_topk_ivfpq(
+        spark, stride=20, m=4, cstride=ann.PQ_CSTRIDE_GATE
+    ).collect()
+    got, ranks = {}, {}
+    for r in rows:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+        ranks.setdefault(r["qid"], []).append(r["rnk"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    recall = sum(len(truth[q] & got.get(q, set())) for q in qids) / (5 * len(qids))
+    floor = 2.0 * 20.0 / n
+    assert recall >= floor, (recall, floor)
