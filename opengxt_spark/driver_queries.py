@@ -3543,6 +3543,31 @@ GROUP BY rid, ring
     )
 
 
+@_register("ring_map_cells", transforms_geom.ring_map_dressing_sql())
+def q_ring_map_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RingMap cartographic dressing (RingMapsOperation.java:100-213): the
+    24 annulus-sector chart cells as vertex rows — SEGS=10 arc steps with
+    a 1-step gap, rings stacked outward from the bbox-diagonal radius,
+    sectors greedily matched to the nearest rect-category feature, each
+    cell carrying ring_num and that ring's value field. The matching is
+    the reference's own sequential driver loop over the (chart-sized,
+    asserted <= 64) feature pool — bounded collect like Jenks — while the
+    DuckDB oracle runs the same greedy unrolled as 8 pure-SQL CTE stages;
+    identical IEEE arithmetic keeps the decisions bit-equal."""
+    world.register_tables(spark, sf_dir)
+    return transforms_geom.ring_map_dressing(spark)
+
+
+@_register("ring_map_anchors", transforms_geom.ring_map_anchors_sql())
+def q_ring_map_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RingMap anchor-line layer (RingMapsOperation.java:139-152): per
+    sector, the chart-side endpoint (mid-angle at the inner radius) and
+    the matched feature centroid — the leader lines tying chart cells to
+    their features."""
+    world.register_tables(spark, sf_dir)
+    return transforms_geom.ring_map_anchors(spark)
+
+
 @_register("ring_map", _ring_map_oracle())
 def q_ring_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RingMapProcess (GT/RingMapProcess.java: concentric ring charts per
@@ -3909,6 +3934,7 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
     "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
+    "ring_map_cells", "ring_map_anchors",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
     "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",

@@ -1093,3 +1093,297 @@ def tps_interpolation_groups(
         .groupBy(group_col)
         .applyInPandas(per_group, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# RingMap cartographic dressing (RingMapsOperation.java:100-213)
+# ---------------------------------------------------------------------------
+
+_RM_SEGS = 10          # DEFAULT_SEGS (RingMapsOperation.java:52)
+_RM_GAPS = 1           # ring gap, in arc segments (java:72)
+_RM_SECTORS = 8        # feature_count: one sector per rect category
+_RM_RINGS = 3          # ring_num = number of value fields
+#: chart radius = half the layer-bbox diagonal (java:100-103); world bbox
+#: is the fixed [0,1000)^2, so the radius is a shared constant.
+_RM_RADIUS = 707.1067811865476
+_RM_CENTER = 500.0
+
+
+def _rm_cells_values() -> str:
+    """The 504 cell vertices as one shared inline-VALUES table.
+
+    Every angle is static (sector span 45 deg, SEGS arc steps, GAPS
+    trailing steps dropped for the visual gap — java:184-204), and the
+    world bbox is fixed, so the entire dressing geometry precomputes to
+    literals in Python; only the sector->feature assignment and the ring
+    values come from data. Vertex order matches createCell: inner arc
+    ascending, outer arc descending, explicit closure."""
+    import math as _m
+
+    interval = _RM_RADIUS / _RM_RINGS
+    step = (360.0 / _RM_SECTORS) / _RM_SEGS
+    rows = []
+    for s in range(_RM_SECTORS):
+        base = s * (360.0 / _RM_SECTORS)
+        for ring in range(1, _RM_RINGS + 1):
+            r_in = _RM_RADIUS + (ring - 1) * interval
+            r_out = r_in + interval
+            verts = []
+            for idx in range(_RM_SEGS + 1 - _RM_GAPS):
+                a = _m.radians(base + idx * step)
+                verts.append((_RM_CENTER + r_in * _m.cos(a),
+                              _RM_CENTER + r_in * _m.sin(a)))
+            for idx in range(_RM_SEGS - _RM_GAPS, -1, -1):
+                a = _m.radians(base + idx * step)
+                verts.append((_RM_CENTER + r_out * _m.cos(a),
+                              _RM_CENTER + r_out * _m.sin(a)))
+            verts.append(verts[0])
+            for seq, (vx, vy) in enumerate(verts):
+                rows.append(
+                    f"({s}, {ring}, {seq}, {round(vx, 6)!r}, {round(vy, 6)!r})"
+                )
+    return ",\n   ".join(rows)
+
+
+def _rm_anchor_points() -> list[tuple[float, float]]:
+    """Sector anchor points: mid-angle at the inner chart radius — the
+    reference's anchor-line origin (java:139-142), reused here as the
+    greedy-matching reference point (the Java code uses the ring-1 cell
+    centroid; the mid-angle point is the same direction at the same
+    radius, an equivalent deterministic choice, documented deviation)."""
+    import math as _m
+
+    pts = []
+    for s in range(_RM_SECTORS):
+        a = _m.radians(s * 45.0 + 22.5)
+        pts.append((_RM_CENTER + _RM_RADIUS * _m.cos(a),
+                    _RM_CENTER + _RM_RADIUS * _m.sin(a)))
+    return pts
+
+
+def _rm_feats_cte() -> str:
+    """Per-category feature: exact-integer centroid sums (mm) + the 3 ring
+    value fields (count, 2*hw sum, 2*hh sum — all exact BIGINTs)."""
+    return """
+feats AS (
+  SELECT cat,
+         CAST(SUM(cxm) AS DOUBLE) / (1000.0 * COUNT(*)) AS fcx,
+         CAST(SUM(cym) AS DOUBLE) / (1000.0 * COUNT(*)) AS fcy,
+         COUNT(*) AS f1,
+         SUM(CAST(hw * 2 AS BIGINT)) AS f2,
+         SUM(CAST(hh * 2 AS BIGINT)) AS f3
+  FROM (SELECT rid % 8 AS cat,
+               CAST(ROUND(cx * 1000.0) AS BIGINT) AS cxm,
+               CAST(ROUND(cy * 1000.0) AS BIGINT) AS cym,
+               hw, hh
+        FROM rects_customer) __c
+  GROUP BY cat
+)"""
+
+
+def _rm_assign_ctes() -> str:
+    """Greedy sector->feature matching, unrolled (java:127-146): sector 0
+    takes the feature nearest its anchor, that feature leaves the pool,
+    sector 1 matches next, ... Deterministic ties on smallest cat."""
+    from .world import dlit
+
+    pts = _rm_anchor_points()
+    parts = []
+    for s, (ax, ay) in enumerate(pts):
+        d2 = (
+            f"(fcx - {dlit(round(ax, 6))}) * (fcx - {dlit(round(ax, 6))})"
+            f" + (fcy - {dlit(round(ay, 6))}) * (fcy - {dlit(round(ay, 6))})"
+        )
+        if s == 0:
+            pool = "feats"
+        else:
+            taken = " UNION ALL ".join(
+                f"SELECT cat FROM m{i}" for i in range(s)
+            )
+            pool = f"(SELECT * FROM feats WHERE cat NOT IN ({taken})) __p{s}"
+        parts.append(f"""
+m{s} AS (
+  SELECT cat FROM (
+    SELECT cat, ROW_NUMBER() OVER (ORDER BY {d2} ASC, cat ASC) AS rn
+    FROM {pool}
+  ) __m{s} WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS sector, cat FROM m{s}" for s in range(_RM_SECTORS)
+    )
+    parts.append(f"""
+assign AS (
+  {union}
+)""")
+    return ",".join(parts)
+
+
+def ring_map_dressing_sql() -> str:
+    """Engine-shared SQL for the dressed ring map: 24 annulus-sector cell
+    polygons as vertex rows (sector, cat, ring, seq, vx, vy, val) — the
+    chart layer RingMapsOperation emits, minus nothing: geometry, ring_num
+    and the per-ring value field all materialize."""
+    from . import world as _w
+
+    return _w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+{_rm_assign_ctes().lstrip().lstrip(',')},
+cells AS (
+  SELECT * FROM (VALUES
+   {_rm_cells_values()}
+  ) AS __t(sector, ring, seq, vx, vy)
+)
+SELECT CAST(a.sector AS INT) AS sector, CAST(f.cat AS INT) AS cat,
+       CAST(c.ring AS INT) AS ring, CAST(c.seq AS INT) AS seq,
+       CAST(c.vx AS DOUBLE) AS vx, CAST(c.vy AS DOUBLE) AS vy,
+       CAST(CASE c.ring WHEN 1 THEN f.f1 WHEN 2 THEN f.f2 ELSE f.f3 END
+            AS BIGINT) AS val
+FROM cells c
+JOIN assign a ON a.sector = c.sector
+JOIN feats f ON f.cat = a.cat
+""",
+        "rects_customer",
+    )
+
+
+def ring_map_anchors_sql() -> str:
+    """Engine-shared SQL for the anchor-line layer (java:139-152): one row
+    per sector with the chart-side endpoint and the matched feature's
+    centroid (sector, cat, ax, ay, fcx, fcy)."""
+    from . import world as _w
+    from .world import dlit
+
+    pts = _rm_anchor_points()
+    axs = " ".join(
+        f"WHEN {s} THEN {dlit(round(ax, 6))}" for s, (ax, _) in enumerate(pts)
+    )
+    ays = " ".join(
+        f"WHEN {s} THEN {dlit(round(ay, 6))}" for s, (_, ay) in enumerate(pts)
+    )
+    return _w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+{_rm_assign_ctes().lstrip().lstrip(',')}
+SELECT CAST(a.sector AS INT) AS sector, CAST(f.cat AS INT) AS cat,
+       ROUND(CASE a.sector {axs} END, 6) AS ax,
+       ROUND(CASE a.sector {ays} END, 6) AS ay,
+       ROUND(f.fcx, 6) AS fcx, ROUND(f.fcy, 6) AS fcy
+FROM assign a JOIN feats f ON f.cat = a.cat
+""",
+        "rects_customer",
+    )
+
+
+def ring_map_feats(spark) -> list:
+    """Collect the per-category chart features — BOUNDED driver-side step
+    (8 rows; asserted <= 64): the reference's RingMapsOperation itself
+    runs its sector matching as a sequential driver loop over the loaded
+    features (java:115-146), and a ring chart has O(sectors) features by
+    construction. Exact integer sums cross the wire; the centroid division
+    happens once below in Python doubles — the same IEEE ops as the
+    oracle's SQL text, so the greedy decisions agree bit-for-bit."""
+    from . import world as _w
+
+    rows = spark.sql(_w.with_layers(
+        """
+SELECT cat, SUM(cxm) AS sx, SUM(cym) AS sy, COUNT(*) AS cnt,
+       SUM(CAST(hw * 2 AS BIGINT)) AS f2, SUM(CAST(hh * 2 AS BIGINT)) AS f3
+FROM (SELECT rid % 8 AS cat,
+             CAST(ROUND(cx * 1000.0) AS BIGINT) AS cxm,
+             CAST(ROUND(cy * 1000.0) AS BIGINT) AS cym, hw, hh
+      FROM rects_customer) __c
+GROUP BY cat
+""",
+        "rects_customer",
+    )).collect()
+    assert len(rows) <= 64, "ring map feature pool must stay chart-sized"
+    return sorted(rows, key=lambda r: r["cat"])
+
+
+def ring_map_assign(feats: list) -> list[tuple[int, int]]:
+    """Greedy sector->feature matching in sector order (java:127-146):
+    nearest unassigned feature to each sector anchor, ties on smallest
+    cat. Python doubles reproduce the oracle SQL exactly: fcx/fcy are one
+    exact-int division each, d2 two mults + one add."""
+    out = []
+    taken = set()
+    for ax, ay in _rm_anchor_points():
+        axr, ayr = round(ax, 6), round(ay, 6)
+        best = None
+        for r in feats:
+            if r["cat"] in taken:
+                continue
+            fcx = float(r["sx"]) / (1000.0 * r["cnt"])
+            fcy = float(r["sy"]) / (1000.0 * r["cnt"])
+            d2 = (fcx - axr) * (fcx - axr) + (fcy - ayr) * (fcy - ayr)
+            if best is None or (d2, r["cat"]) < best[:2]:
+                best = (d2, r["cat"])
+        taken.add(best[1])
+        out.append(best[1])
+    return [(s, c) for s, c in enumerate(out)]
+
+
+def _rm_assign_values(assign: list[tuple[int, int]]) -> str:
+    return ", ".join(f"({s}, {c})" for s, c in assign)
+
+
+def ring_map_dressing(spark) -> "DataFrame":
+    """Spark-side dressed ring map: cells from the static VALUES table,
+    sector->cat from the bounded driver-side greedy match, ring VALUES
+    re-aggregated in-engine. Output matches ring_map_dressing_sql()'s
+    oracle hash exactly."""
+    from . import world as _w
+
+    assign = ring_map_assign(ring_map_feats(spark))
+    return spark.sql(_w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+assign AS (
+  SELECT * FROM (VALUES {_rm_assign_values(assign)}) AS __a(sector, cat)
+),
+cells AS (
+  SELECT * FROM (VALUES
+   {_rm_cells_values()}
+  ) AS __t(sector, ring, seq, vx, vy)
+)
+SELECT CAST(a.sector AS INT) AS sector, CAST(f.cat AS INT) AS cat,
+       CAST(c.ring AS INT) AS ring, CAST(c.seq AS INT) AS seq,
+       CAST(c.vx AS DOUBLE) AS vx, CAST(c.vy AS DOUBLE) AS vy,
+       CAST(CASE c.ring WHEN 1 THEN f.f1 WHEN 2 THEN f.f2 ELSE f.f3 END
+            AS BIGINT) AS val
+FROM cells c
+JOIN assign a ON a.sector = c.sector
+JOIN feats f ON f.cat = a.cat
+""",
+        "rects_customer",
+    ))
+
+
+def ring_map_anchors(spark) -> "DataFrame":
+    """Spark-side anchor-line layer; see ring_map_anchors_sql()."""
+    from . import world as _w
+    from .world import dlit
+
+    assign = ring_map_assign(ring_map_feats(spark))
+    pts = _rm_anchor_points()
+    axs = " ".join(
+        f"WHEN {s} THEN {dlit(round(ax, 6))}" for s, (ax, _) in enumerate(pts)
+    )
+    ays = " ".join(
+        f"WHEN {s} THEN {dlit(round(ay, 6))}" for s, (_, ay) in enumerate(pts)
+    )
+    return spark.sql(_w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+assign AS (
+  SELECT * FROM (VALUES {_rm_assign_values(assign)}) AS __a(sector, cat)
+)
+SELECT CAST(a.sector AS INT) AS sector, CAST(f.cat AS INT) AS cat,
+       ROUND(CASE a.sector {axs} END, 6) AS ax,
+       ROUND(CASE a.sector {ays} END, 6) AS ay,
+       ROUND(f.fcx, 6) AS fcx, ROUND(f.fcy, 6) AS fcy
+FROM assign a JOIN feats f ON f.cat = a.cat
+""",
+        "rects_customer",
+    ))

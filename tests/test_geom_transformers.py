@@ -152,3 +152,39 @@ def test_mbc_operator_brute(spark, sf_dir):
         assert abs(got["mbc_r"] - round(r, 6)) < 1e-6
         d = np.hypot(xs - got["mbc_x"], ys - got["mbc_y"])
         assert (d <= got["mbc_r"] + 1e-4).all()
+
+
+def test_ring_map_dressing_contract(spark, sf_dir):
+    """Dressed ring map: 8 sectors x 3 rings x 21 closed-polygon vertices,
+    sector->cat is a bijection, and ring-1 values equal the per-category
+    rect counts (the value-field contract of RingMapsOperation)."""
+    from opengxt_spark import transforms_geom as tg, world
+
+    world.register_tables(spark, sf_dir)
+    rows = tg.ring_map_dressing(spark).collect()
+    assert len(rows) == 8 * 3 * 21
+    by_cell = {}
+    sec2cat = {}
+    for r in rows:
+        by_cell.setdefault((r["sector"], r["ring"]), []).append(r)
+        sec2cat.setdefault(r["sector"], set()).add(r["cat"])
+    assert len(by_cell) == 24
+    assert sorted(c for s in sec2cat.values() for c in s) == list(range(8))
+    for cell in by_cell.values():
+        cell.sort(key=lambda r: r["seq"])
+        assert len(cell) == 21
+        assert (cell[0]["vx"], cell[0]["vy"]) == (cell[-1]["vx"], cell[-1]["vy"])
+    counts = {
+        r["cat"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT rid % 8 AS cat, COUNT(*) AS cnt FROM ("
+            + world.LAYER_SQL["rects_customer"]
+            + ") GROUP BY rid % 8"
+        ).collect()
+    }
+    for r in rows:
+        if r["ring"] == 1:
+            assert r["val"] == counts[r["cat"]]
+    anchors = tg.ring_map_anchors(spark).collect()
+    assert len(anchors) == 8
+    assert sorted(a["cat"] for a in anchors) == list(range(8))
