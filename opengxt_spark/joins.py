@@ -1054,6 +1054,13 @@ def nearest_join(
                     F.col("_sy").alias(ly),
                 )
                 n_est = max(n_est * _poisson_lt(math.pi * rho * r * r, 1), 1.0)
+                if n_est < 16.0:
+                    # The analytic survivor estimate says the remainder is
+                    # a handful of rows: building another flipped ring
+                    # costs a plan branch + two stages to resolve ~nothing.
+                    # Jump straight to the cap ring — its explode factor on
+                    # <16 pending rows is trivial even at the full radius.
+                    break
                 r = _late_ring_radius(r, radius, rho, 1, 6.0 ** (_i + 1))
             parts.append(
                 _nearest_reduce(_pairs(pending, radius, max(int(n_est), 1)))
@@ -1311,6 +1318,10 @@ def knn_join(
                 F.col("_sy").alias(ly),
             )
             n_est = max(n_est * _poisson_lt(math.pi * rho * r * r, k), 1.0)
+            if n_est < 16.0:
+                # see nearest_join: skip further rings once the analytic
+                # schedule says the remainder is a handful of rows.
+                break
             r = _late_ring_radius(r, radius, rho, k, 6.0 ** (_i + 1))
         # Stragglers at the radius cap: inner path, ring-exploding the
         # (tiny) pending side rather than the whole right layer.
