@@ -3568,6 +3568,29 @@ def q_ring_map_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms_geom.ring_map_anchors(spark)
 
 
+@_register("circle_map_circles", transforms_geom.circle_map_sql())
+def q_circle_map_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CircleMap dressing (CircleMapOperation.java:88-213): features placed
+    clockwise on perimeter slots (greedy nearest-free-slot in cat order —
+    the reference's STRtree nearest-with-processed-filter loop), each
+    drawn as a 32-gon circle whose radius scales with the value field
+    between half-chord maxRadius and its 10% floor. Matching runs
+    driver-side on the bounded feature pool (as the reference does);
+    the oracle unrolls the same greedy as pure SQL."""
+    world.register_tables(spark, sf_dir)
+    return transforms_geom.circle_map(spark)
+
+
+@_register("circle_map_anchors", transforms_geom.circle_map_sql(anchors=True))
+def q_circle_map_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CircleMap anchor lines (java:153-155): feature centroid to the
+    nearest point of its value-scaled circle (on the ideal circle along
+    the center line — the reference uses the 32-gon's nearest vertex/edge;
+    documented deviation, same leader-line contract)."""
+    world.register_tables(spark, sf_dir)
+    return transforms_geom.circle_map(spark, anchors=True)
+
+
 @_register("ring_map", _ring_map_oracle())
 def q_ring_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RingMapProcess (GT/RingMapProcess.java: concentric ring charts per
@@ -3934,7 +3957,8 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
     "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
-    "ring_map_cells", "ring_map_anchors",
+    "ring_map_cells", "ring_map_anchors", "circle_map_circles",
+    "circle_map_anchors",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
     "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",

@@ -1387,3 +1387,214 @@ FROM assign a JOIN feats f ON f.cat = a.cat
 """,
         "rects_customer",
     ))
+
+
+# ---------------------------------------------------------------------------
+# CircleMap cartographic dressing (CircleMapOperation.java:88-213)
+# ---------------------------------------------------------------------------
+
+_CM_SEGS = 32          # buffer(r, 8) -> 4*8 perimeter vertices (java:152)
+
+
+def _cm_slots() -> list[tuple[float, float]]:
+    """Perimeter slot centers: slot s at degree 360 - s*45 (clockwise,
+    java:103-104), radius = center-to-bbox-corner distance (java:92)."""
+    import math as _m
+
+    pts = []
+    for s in range(_RM_SECTORS):
+        a = _m.radians(360.0 - s * 45.0)
+        pts.append((_RM_CENTER + _RM_RADIUS * _m.cos(a),
+                    _RM_CENTER + _RM_RADIUS * _m.sin(a)))
+    return pts
+
+
+def _cm_radii() -> tuple[float, float]:
+    """(maxRadius, minRadius): half the chord between adjacent slots, and
+    its 10% floor (java:97-98, 207-211)."""
+    import math as _m
+
+    (x1, y1), (x2, y2) = _cm_slots()[0], (
+        _RM_CENTER + _RM_RADIUS * _m.cos(_m.radians(45.0)),
+        _RM_CENTER + _RM_RADIUS * _m.sin(_m.radians(45.0)),
+    )
+    mx = _m.hypot(x2 - x1, y2 - y1) / 2.0
+    return mx, mx * 0.1
+
+
+def _cm_units_values() -> str:
+    """33 unit-circle vertex rows (seq, ux, uy) — 32-gon + explicit
+    closure. The reference's JTS buffer emits the same 32-segment ring;
+    vertex phase/start differs (documented deviation, polygon-equal)."""
+    import math as _m
+
+    rows = []
+    for seq in range(_CM_SEGS + 1):
+        a = 2.0 * _m.pi * (seq % _CM_SEGS) / _CM_SEGS
+        rows.append(f"({seq}, {round(_m.cos(a), 9)!r}, {round(_m.sin(a), 9)!r})")
+    return ",\n   ".join(rows)
+
+
+def _cm_slots_values() -> str:
+    return ", ".join(
+        f"({s}, {round(x, 6)!r}, {round(y, 6)!r})"
+        for s, (x, y) in enumerate(_cm_slots())
+    )
+
+
+def _cm_radii_cte() -> str:
+    """radii: per assigned feature the value-scaled circle radius
+    r_adj = clamp((v - min)/(max - min) * maxRadius, >= minRadius)
+    (java:145-149); value field = the category rect count."""
+    from .world import dlit
+
+    mx, mn = _cm_radii()
+    scale = (
+        f"((CAST(f.f1 AS DOUBLE) - s.vmin) / (s.vmax - s.vmin)) * {dlit(mx)}"
+    )
+    return f"""
+stats AS (
+  SELECT MIN(CAST(f1 AS DOUBLE)) AS vmin, MAX(CAST(f1 AS DOUBLE)) AS vmax
+  FROM feats
+),
+radii AS (
+  SELECT a.slot, a.cat, f.fcx, f.fcy, f.f1,
+         CASE WHEN (s.vmax - s.vmin) <= 0.0 THEN {dlit(mn)}
+              WHEN {scale} <= {dlit(mn)} THEN {dlit(mn)}
+              ELSE {scale} END AS r_adj
+  FROM assign a
+  JOIN feats f ON f.cat = a.cat
+  CROSS JOIN stats s
+)"""
+
+
+def _cm_assign_ctes() -> str:
+    """Greedy feature->slot matching, unrolled: features in cat order each
+    take the nearest FREE perimeter slot (java:126-143's STRtree
+    nearest-with-processed-filter loop). Ties on smallest slot."""
+    parts = []
+    for c in range(_RM_SECTORS):
+        if c == 0:
+            pool = "slotc"
+        else:
+            taken = " UNION ALL ".join(
+                f"SELECT slot FROM s{i}" for i in range(c)
+            )
+            pool = f"(SELECT * FROM slotc WHERE slot NOT IN ({taken}))"
+        parts.append(f"""
+s{c} AS (
+  SELECT slot FROM (
+    SELECT sl.slot,
+           ROW_NUMBER() OVER (ORDER BY
+             (f.fcx - sl.scx) * (f.fcx - sl.scx)
+             + (f.fcy - sl.scy) * (f.fcy - sl.scy) ASC, sl.slot ASC) AS rn
+    FROM {pool} sl CROSS JOIN (SELECT fcx, fcy FROM feats WHERE cat = {c}) f
+  ) __s{c} WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {c} AS cat, slot FROM s{c}" for c in range(_RM_SECTORS)
+    )
+    parts.append(f"""
+assign AS (
+  {union}
+)""")
+    return ",".join(parts)
+
+
+_CM_BODY = """
+SELECT CAST(r.slot AS INT) AS slot, CAST(r.cat AS INT) AS cat,
+       CAST(u.seq AS INT) AS seq,
+       ROUND(sl.scx + r.r_adj * CAST(u.ux AS DOUBLE), 6) AS vx,
+       ROUND(sl.scy + r.r_adj * CAST(u.uy AS DOUBLE), 6) AS vy,
+       CAST(r.f1 AS BIGINT) AS val, ROUND(r.r_adj, 6) AS r_circle
+FROM radii r
+JOIN slotc sl ON sl.slot = r.slot
+CROSS JOIN units u
+"""
+
+_CM_ANCHOR_BODY = """
+SELECT CAST(r.slot AS INT) AS slot, CAST(r.cat AS INT) AS cat,
+       ROUND(r.fcx, 6) AS x1, ROUND(r.fcy, 6) AS y1,
+       ROUND(sl.scx + r.r_adj * (r.fcx - sl.scx) / d.dist, 6) AS x2,
+       ROUND(sl.scy + r.r_adj * (r.fcy - sl.scy) / d.dist, 6) AS y2,
+       ROUND(d.dist - r.r_adj, 6) AS anchor_len
+FROM radii r
+JOIN slotc sl ON sl.slot = r.slot
+CROSS JOIN LATERAL (
+  SELECT SQRT((r.fcx - sl.scx) * (r.fcx - sl.scx)
+              + (r.fcy - sl.scy) * (r.fcy - sl.scy)) AS dist
+) d
+"""
+
+
+def circle_map_sql(anchors: bool = False) -> str:
+    """Engine-shared CircleMap SQL (oracle path: greedy fully unrolled)."""
+    from . import world as _w
+
+    return _w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+slotc AS (
+  SELECT * FROM (VALUES {_cm_slots_values()}) AS __s(slot, scx, scy)
+),
+{_cm_assign_ctes().lstrip().lstrip(',')},
+{_cm_radii_cte().lstrip()},
+units AS (
+  SELECT * FROM (VALUES
+   {_cm_units_values()}
+  ) AS __u(seq, ux, uy)
+)
+{_CM_ANCHOR_BODY if anchors else _CM_BODY}
+""",
+        "rects_customer",
+    )
+
+
+def circle_map_assign(feats: list) -> list[tuple[int, int]]:
+    """Greedy feature->slot matching in cat order (bounded driver-side
+    mirror of the oracle CTEs; same IEEE arithmetic)."""
+    slots = [(s, round(x, 6), round(y, 6)) for s, (x, y) in enumerate(_cm_slots())]
+    out = []
+    taken = set()
+    for r in feats:
+        fcx = float(r["sx"]) / (1000.0 * r["cnt"])
+        fcy = float(r["sy"]) / (1000.0 * r["cnt"])
+        best = None
+        for s, sx, sy in slots:
+            if s in taken:
+                continue
+            d2 = (fcx - sx) * (fcx - sx) + (fcy - sy) * (fcy - sy)
+            if best is None or (d2, s) < best:
+                best = (d2, s)
+        taken.add(best[1])
+        out.append((r["cat"], best[1]))
+    return out
+
+
+def circle_map(spark, anchors: bool = False) -> "DataFrame":
+    """Spark-side CircleMap: greedy matching from the bounded feature
+    collect (reference runs the same loop driver-side), geometry in-engine.
+    Output hashes equal circle_map_sql()'s."""
+    from . import world as _w
+
+    assign = circle_map_assign(ring_map_feats(spark))
+    vals = ", ".join(f"({c}, {s})" for c, s in assign)
+    return spark.sql(_w.with_layers(
+        f"""
+WITH {_rm_feats_cte().lstrip()},
+slotc AS (
+  SELECT * FROM (VALUES {_cm_slots_values()}) AS __s(slot, scx, scy)
+),
+assign AS (
+  SELECT * FROM (VALUES {vals}) AS __a(cat, slot)
+),
+{_cm_radii_cte().lstrip()},
+units AS (
+  SELECT * FROM (VALUES
+   {_cm_units_values()}
+  ) AS __u(seq, ux, uy)
+)
+{_CM_ANCHOR_BODY if anchors else _CM_BODY}
+""",
+        "rects_customer",
+    ))

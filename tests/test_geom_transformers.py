@@ -188,3 +188,36 @@ def test_ring_map_dressing_contract(spark, sf_dir):
     anchors = tg.ring_map_anchors(spark).collect()
     assert len(anchors) == 8
     assert sorted(a["cat"] for a in anchors) == list(range(8))
+
+
+def test_circle_map_contract(spark, sf_dir):
+    """CircleMap: 8 value-scaled 33-vertex circles on distinct perimeter
+    slots; radii within [minRadius, maxRadius]; the largest-count category
+    gets the largest circle; anchors end exactly r_adj from slot center."""
+    import math
+
+    from opengxt_spark import transforms_geom as tg, world
+
+    world.register_tables(spark, sf_dir)
+    rows = tg.circle_map(spark).collect()
+    assert len(rows) == 8 * 33
+    mx, mn = tg._cm_radii()
+    by = {}
+    for r in rows:
+        by.setdefault((r["slot"], r["cat"]), []).append(r)
+        assert mn - 1e-6 <= r["r_circle"] <= mx + 1e-6
+    assert len(by) == 8
+    assert sorted(s for s, _ in by) == list(range(8))
+    assert sorted(c for _, c in by) == list(range(8))
+    vals = {c: (rs[0]["val"], rs[0]["r_circle"]) for (_, c), rs in by.items()}
+    vmax_cat = max(vals, key=lambda c: (vals[c][0], -c))
+    assert vals[vmax_cat][1] == max(r for _, r in vals.values())
+    for cell in by.values():
+        cell.sort(key=lambda r: r["seq"])
+        assert (cell[0]["vx"], cell[0]["vy"]) == (cell[-1]["vx"], cell[-1]["vy"])
+    slots = {s: (x, y) for s, (x, y) in enumerate(tg._cm_slots())}
+    radii = {s: rs[0]["r_circle"] for (s, _), rs in by.items()}
+    for a in tg.circle_map(spark, anchors=True).collect():
+        sx, sy = slots[a["slot"]]
+        d = math.hypot(a["x2"] - sx, a["y2"] - sy)
+        assert abs(d - radii[a["slot"]]) < 1e-4, (a, d)
