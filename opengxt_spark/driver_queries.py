@@ -2726,6 +2726,19 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from . import sessionize as _sessionize  # noqa: E402
+
+
+@_register("sessionize_events", _sessionize.sessionize_sql())
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sessionization (30-min gap): the gaps-and-islands
+    plan — LAG + running SUM of break flags inside one user_id exchange,
+    exact integer value sums. The batch twin of the stateful streaming
+    operator (sessionize.stream_sessionize, replay pytest); engine-shared
+    SQL text IS the oracle."""
+    return _sessionize.sessionize(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Geometry transformer batch (transforms_geom.py)
 # ---------------------------------------------------------------------------
@@ -3958,7 +3971,7 @@ _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
     "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
     "ring_map_cells", "ring_map_anchors", "circle_map_circles",
-    "circle_map_anchors",
+    "circle_map_anchors", "sessionize_events",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",
     "image_train_split", "image_diversity", "image_shard_plan",
     "image_quadkey_rollup", "images_in_zones", "image_dedup_canonical",

@@ -172,3 +172,69 @@ def test_stream_image_stats_replay_equals_batch(spark, tmp_path):
     assert len(got) == 3
     # multiple event-time windows actually exercised
     assert spark.table("img_stats_replay").select("start").distinct().count() > 1
+
+
+def test_stream_sessionize_replay(spark, tmp_path):
+    """Stateful sessionization: every session the stream CLOSES (gap
+    crossing or event-time timeout) matches the batch gaps-and-islands
+    operator tuple-for-tuple, sessions merge correctly ACROSS micro-batch
+    boundaries, and most sessions flush (only those inside the final
+    watermark+gap horizon may stay open)."""
+    from opengxt_spark import sessionize
+
+    world.register_tables(spark, SF)
+    batch = {
+        (r["user_id"], r["sid"], r["n_events"], r["t_start"], r["t_end"],
+         r["sum_v100"])
+        for r in spark.sql(sessionize.sessionize_sql()).collect()
+    }
+    ev = spark.table("events").select(
+        "event_id", "ts", "user_id", "value"
+    ).orderBy("ts")
+    src = str(tmp_path / "sess_src")
+    # 8 time-sliced files written oldest-first: >= 2 micro-batches at
+    # maxFilesPerTrigger=4, so open sessions must survive a batch boundary.
+    import pyspark.sql.functions as F  # noqa: N812
+
+    ranked = ev.withColumn(
+        "slice", F.ntile(8).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("ts")
+        )
+    )
+    for i in range(1, 9):
+        ranked.where(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    q = (
+        sessionize.stream_sessionize(spark, src, schema)
+        .writeStream.format("memory")
+        .queryName("sess_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.table("sess_replay")
+        .select("user_id", "sid", "n_events", "t_start", "t_end", "sum_v100")
+        .collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got <= batch, list(got - batch)[:3]
+    # the only sessions allowed to stay open are those ending within the
+    # watermark horizon (1h) + gap of the stream's max event time
+    import datetime
+
+    max_ts = max(r[4] for r in batch)
+    horizon = max_ts - datetime.timedelta(seconds=3600 + sessionize.GAP_SECONDS)
+    must_close = {r for r in batch if r[4] < horizon}
+    assert must_close <= got, list(must_close - got)[:3]
