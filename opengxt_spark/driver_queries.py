@@ -2688,6 +2688,17 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_ivf(spark, stride=20, m=4)
 
 
+@_register("doc_quality_gopher", textops.doc_quality_rules_oracle())
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter over documents (Rae et al. 2021 A1.1):
+    length bounds, mean token length, repetition signals (distinct-token
+    ratio, duplicate-bigram fraction via per-row array algebra — no
+    explode, no shuffle) and a stopword floor, plus the keep decision.
+    Thresholds sized to the synthetic corpus (keeps ~41% at sf0.01)."""
+    world.register_tables(spark, sf_dir)
+    return textops.doc_quality_rules(spark)
+
+
 @_register("pq_codes", ann.pq_codes_oracle())
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the embedding column: per vector,
@@ -3969,7 +3980,7 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as CORRECTNESS_full_r4.json) covers all registered queries every round.
 _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
-    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
+    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq", "doc_quality_gopher",
     "ring_map_cells", "ring_map_anchors", "circle_map_circles",
     "circle_map_anchors", "sessionize_events",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",

@@ -565,3 +565,69 @@ reach(a, b) AS (
 SELECT a AS did, MIN(b) AS cluster, (a = MIN(b)) AS keep
 FROM reach GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1.1 —
+# public; thresholds adapted to the synthetic corpus' ranges)
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_rules(spark: SparkSession) -> DataFrame:
+    """Per-doc quality-filter signals + keep decision — the standard
+    pre-training corpus filter family: length bounds, mean token length,
+    repetition (distinct-token ratio, duplicate-bigram fraction) and a
+    stopword-presence floor. All exact counts + single divisions; the
+    bigram set is per-row array algebra (no explode, no shuffle) — a
+    10^12-doc scan stays embarrassingly parallel."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return spark.sql(f"""
+SELECT doc_id, n_tokens,
+       CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       CAST(nd AS DOUBLE) / n_tokens AS distinct_ratio,
+       1.0 - CAST(ndb AS DOUBLE) / (n_tokens - 1) AS dup_bigram_frac,
+       n_stop_distinct,
+       CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+                  AND CAST(nd AS DOUBLE) / n_tokens >= 0.4
+                  AND 1.0 - CAST(ndb AS DOUBLE) / (n_tokens - 1) <= 0.08
+                  AND n_stop_distinct >= 1
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT doc_id, size(toks) AS n_tokens,
+         aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) AS sum_len,
+         size(array_distinct(toks)) AS nd,
+         size(array_distinct(transform(sequence(1, size(toks) - 1),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))) AS ndb,
+         size(array_distinct(filter(toks, t -> t IN ({stop})))) AS n_stop_distinct
+  FROM (SELECT doc_id, {toks_spark()} AS toks FROM documents)
+) WHERE n_tokens > 1
+""")
+
+
+def doc_quality_rules_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (SELECT doc_id, {toks_duck()} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+             (acc, t) -> acc + t) AS sum_len,
+         len(list_distinct(toks)) AS nd,
+         len(list_distinct(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1]))) AS ndb,
+         len(list_distinct(list_filter(toks, t -> t IN ({stop})))) AS n_stop_distinct
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       CAST(nd AS DOUBLE) / n_tokens AS distinct_ratio,
+       1.0 - CAST(ndb AS DOUBLE) / (n_tokens - 1) AS dup_bigram_frac,
+       CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+       CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+                  AND CAST(nd AS DOUBLE) / n_tokens >= 0.4
+                  AND 1.0 - CAST(ndb AS DOUBLE) / (n_tokens - 1) <= 0.08
+                  AND n_stop_distinct >= 1
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM feat WHERE n_tokens > 1
+"""
