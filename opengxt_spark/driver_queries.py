@@ -2263,6 +2263,22 @@ def q_utm_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "albers_roundtrip_points",
+    reproject.aea_roundtrip_sql(world.LAYER_SQL["points_part"]),
+)
+def q_albers_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albers equal-area conic (spherical CONUS 5070 graticule) forward +
+    inverse per point: metre-banded easting/northing + 1e-9-deg round-trip
+    booleans; cone constants are Python literals, data-dependent trig is
+    native (the Mercator banding rationale). Equal-area Jacobian pinned in
+    tests/test_reproject.py."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(
+        reproject.aea_roundtrip_sql(world.LAYER_SQL["points_part"])
+    )
+
+
+@_register(
     "merc_roundtrip_points",
     reproject.merc_roundtrip_sql(world.LAYER_SQL["points_part"]),
 )
@@ -3989,6 +4005,7 @@ _GATE_PRIORITY = [
     "split_zone_balance", "split_leakage_audit", "caption_collision_audit",
     # new in round 4 (oracle-backed)
     "utm_forward_points", "utm_roundtrip_points", "merc_roundtrip_points",
+    "albers_roundtrip_points",
     "tif_roundtrip_dem", "shp_roundtrip_donuts", "pip_count_skew_salted",
     "neardup_clusters", "classify_jenks", "median_center", "simplify_dp",
     "min_rotated_rect_rects", "eliminate_slivers", "kernel_density_tricube",

