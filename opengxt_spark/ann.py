@@ -903,3 +903,32 @@ def ann_topk_ivfpq_oracle(
     """DuckDB mirror of ``ann_topk_ivfpq`` — stride/m/cstride pinned to the
     gate values on BOTH sides (sf-independent agreement)."""
     return _ivfpq_topk_sql(stride, m, cstride, k, query_mod, probes, "duck")
+
+
+def _pq_packed_sql(cstride: int, engine: str) -> str:
+    """(vec_id, packed): all 8 4-bit codes in ONE bigint (c0 + c1*16 +
+    ... + c7*16^7 < 2^32) — the literal stored form of the compressed
+    index: 4 bytes/vector of code payload vs 256 B of floats. Unpacking is
+    (packed DIV 16^j) % 16 — pure integer ops on both engines."""
+    cast = (
+        "CAST(vec_id AS BIGINT) AS vec_id" if engine == "duck" else "vec_id"
+    )
+    packed = " + ".join(
+        f"CAST(c{j} AS BIGINT) * {16 ** j}" for j in range(PQ_M)
+    )
+    return (
+        "WITH " + _pq_enc_sql(cstride, engine)
+        + f"\nSELECT {cast}, CAST({packed} AS BIGINT) AS packed FROM enc"
+    )
+
+
+def pq_codes_packed(spark: SparkSession, cstride: int | None = None) -> DataFrame:
+    if cstride is None:
+        from . import planner
+
+        cstride = pq_cstride_for(planner.cached_count(spark.table("embeddings")))
+    return spark.sql(_pq_packed_sql(cstride, "spark"))
+
+
+def pq_codes_packed_oracle(cstride: int = PQ_CSTRIDE_GATE) -> str:
+    return _pq_packed_sql(cstride, "duck")

@@ -2704,6 +2704,15 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_ivf(spark, stride=20, m=4)
 
 
+@_register("pq_codes_packed", ann.pq_codes_packed_oracle())
+def q_pq_codes_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes in their stored form: one bigint packing all 8 4-bit codes
+    (4 bytes of code payload per vector) — the column a 10^12-vector
+    compressed index actually materializes; unpack is integer DIV/MOD."""
+    world.register_tables(spark, sf_dir)
+    return ann.pq_codes_packed(spark, cstride=ann.PQ_CSTRIDE_GATE)
+
+
 @_register("doc_quality_gopher", textops.doc_quality_rules_oracle())
 def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality filter over documents (Rae et al. 2021 A1.1):
@@ -3996,7 +4005,7 @@ def q_tps_affine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as CORRECTNESS_full_r4.json) covers all registered queries every round.
 _GATE_PRIORITY = [
     # newest in round 4 (oracle-backed): training-pipeline + spatial x image
-    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq", "doc_quality_gopher",
+    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq", "doc_quality_gopher", "pq_codes_packed",
     "ring_map_cells", "ring_map_anchors", "circle_map_circles",
     "circle_map_anchors", "sessionize_events",
     "wds_roundtrip_meta", "wds_roundtrip_pixels", "image_augment_chain",

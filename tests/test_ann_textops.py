@@ -304,3 +304,21 @@ def test_ivfpq_recall_and_shape(spark, sf_dir):
     recall = sum(len(truth[q] & got.get(q, set())) for q in qids) / (5 * len(qids))
     floor = 2.0 * 20.0 / n
     assert recall >= floor, (recall, floor)
+
+
+def test_pq_packed_roundtrips_codes(spark, sf_dir):
+    """The packed bigint unpacks to exactly the per-subspace codes, and
+    fits 4 bytes (< 2^32)."""
+    world.register_tables(spark, sf_dir)
+    codes = {
+        r["vec_id"]: [r[f"c{j}"] for j in range(ann.PQ_M)]
+        for r in ann.pq_codes(spark, cstride=ann.PQ_CSTRIDE_GATE).collect()
+    }
+    packed = {
+        r["vec_id"]: r["packed"]
+        for r in ann.pq_codes_packed(spark, cstride=ann.PQ_CSTRIDE_GATE).collect()
+    }
+    assert packed.keys() == codes.keys()
+    for vid, p in packed.items():
+        assert 0 <= p < 2 ** 32
+        assert [(p // 16 ** j) % 16 for j in range(ann.PQ_M)] == codes[vid]
