@@ -634,8 +634,13 @@ PQ_CSTRIDE_GATE = 31
 
 def pq_cstride_for(n: int) -> int:
     """Codebook-sampling stride: PQ_K codewords spread evenly over the id
-    range (ids c*cstride + 2, c in [0, PQ_K))."""
-    return max(n // PQ_K, 1)
+    range (ids c*cstride + 2, c in [0, PQ_K)).
+
+    Floor of 3: for cstride <= 2 the predicate ``vec_id % cstride = 2`` is
+    unsatisfiable (no codebook rows → silently empty PQ results); a
+    too-small collection must sample a dense-but-valid codebook instead
+    (same floor rationale as the ivf helper's mod-0/1 guard)."""
+    return max(n // PQ_K, 3)
 
 
 def _subdist_spark(j: int, a: str, b: str) -> str:

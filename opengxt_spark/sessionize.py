@@ -101,6 +101,7 @@ def stream_sessionize(
     Event-time timeout closes sessions the watermark has passed, so state
     is bounded by the number of users active inside the watermark horizon
     — the 10^12-row contract (RocksDB state store on a real cluster)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -129,15 +130,28 @@ def stream_sessionize(
         if state.hasTimedOut:
             if n > 0:
                 close()
-            state.remove()
+            # Keep a counter-only state row (n=0, no bounds) instead of
+            # state.remove(): the per-user sid counter must survive the
+            # timeout, or the user's NEXT session would restart at sid=1
+            # and collide with already-emitted ids — diverging from the
+            # batch gaps-and-islands numbering. No timeout is re-armed on
+            # the counter row, so state is one tiny primitive row per user
+            # ever seen (vs per ACTIVE user) — the documented cost of
+            # exact batch-parity numbering.
+            state.update((sid, None, None, 0, 0))
         else:
             for pdf in pdfs:
                 pdf = pdf.sort_values(["ts", "event_id"])
+                v100s = pdf["value"].to_numpy() * 100.0
+                # half-away-from-zero, matching Spark/DuckDB ROUND (pandas
+                # .round() is half-to-even and would diverge on exact .5
+                # doubles outside the layer's 2-decimal contract).
+                v100s = np.copysign(np.floor(np.abs(v100s) + 0.5), v100s)
                 for ts, v in zip(
                     # normalize to epoch-us regardless of the Arrow batch's
                     # datetime64 resolution (ns vs us varies by channel)
                     pdf["ts"].astype("datetime64[us]").astype("int64"),
-                    (pdf["value"] * 100).round().astype("int64"),
+                    v100s.astype("int64"),
                 ):
                     if last_us is not None and ts > last_us + gap_us:
                         close()

@@ -596,8 +596,10 @@ FROM (
   SELECT doc_id, size(toks) AS n_tokens,
          aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) AS sum_len,
          size(array_distinct(toks)) AS nd,
-         size(array_distinct(transform(sequence(1, size(toks) - 1),
-              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))) AS ndb,
+         CASE WHEN size(toks) > 1 THEN
+           size(array_distinct(transform(sequence(1, size(toks) - 1),
+                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))
+         ELSE 0 END AS ndb,
          size(array_distinct(filter(toks, t -> t IN ({stop})))) AS n_stop_distinct
   FROM (SELECT doc_id, {toks_spark()} AS toks FROM documents)
 ) WHERE n_tokens > 1

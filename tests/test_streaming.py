@@ -238,3 +238,62 @@ def test_stream_sessionize_replay(spark, tmp_path):
     horizon = max_ts - datetime.timedelta(seconds=3600 + sessionize.GAP_SECONDS)
     must_close = {r for r in batch if r[4] < horizon}
     assert must_close <= got, list(must_close - got)[:3]
+
+
+def test_stream_sessionize_sid_survives_timeout(spark, tmp_path):
+    """An event-time TIMEOUT closes a session mid-stream; the same user's
+    LATER events must continue the batch sid numbering (sid=2), not restart
+    at sid=1 — the counter-only state row must survive the timeout."""
+    import datetime
+
+    from opengxt_spark import sessionize
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, secs, val=1.0):
+        return (eid, base + datetime.timedelta(seconds=secs), uid, val)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    # batch 1: user1 session A (t=0, t=10); user2 at t=3h advances the
+    #   watermark to 2h after the batch, past user1's timeout (t+gap=30m10s).
+    # batch 2: user2 only — user1 has NO data, so its timeout FIRES here
+    #   (Spark only times out keys without data in the batch).
+    # batch 3: user1 at 4h (opens sid=2) then 5h (gap-crossing closes sid=2).
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 3 * 3600)],
+        [ev(4, 2, 3 * 3600 + 600)],
+        [ev(5, 1, 4 * 3600), ev(6, 1, 5 * 3600)],
+    ]
+    src = str(tmp_path / "sess_timeout_src")
+    for rows in batches:
+        df = spark.createDataFrame(rows, schema)
+        # 1 data file + 3 empty files fills maxFilesPerTrigger=4 exactly,
+        # forcing each list above into its own micro-batch.
+        df.coalesce(1).write.mode("append").parquet(src)
+        for _ in range(3):
+            df.limit(0).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        sessionize.stream_sessionize(spark, src, schema)
+        .writeStream.format("memory")
+        .queryName("sess_timeout_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["sid"], r["n_events"])
+        for r in spark.table("sess_timeout_replay").collect()
+    }
+    # session A closed by TIMEOUT carries sid=1; the post-timeout session
+    # closed by the 5h gap-crossing event carries sid=2 (batch numbering),
+    # NOT a colliding sid=1.
+    assert (1, 1, 2) in got, got
+    assert (1, 2, 1) in got, got
+    assert (1, 1, 1) not in got, got
