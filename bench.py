@@ -163,12 +163,17 @@ def main() -> None:
     phases: dict[str, dict[str, float]] = {}
     for name in names:
         # Warm one full build+execute (codegen/JIT, excluded from timing).
-        # The warm build also pays the one-time plan probes (strategy /
-        # density / count jobs, memoized per canonical plan since round 3),
-        # so warm_build - steady build isolates probe cost for the report.
+        # probe_s is the measured wall time of the ACTUAL probe jobs the
+        # warm build fires (planner._probe_timer accumulator — zero when
+        # the persistent probe cache is warm); warm_s is the rest of the
+        # first-build overhead (codegen/JIT/broadcast warmup of any eager
+        # build-time job), reported separately so cold-JIT cost is not
+        # misattributed to probes.
+        p0 = planner.probe_seconds()
         t0 = time.time()
         df = QUERY_BUILDERS[name](ins)
         warm_build = time.time() - t0
+        probe_cost = planner.probe_seconds() - p0
         df.write.format("noop").mode("overwrite").save()
         del df
         joins.release_scratch()
@@ -192,7 +197,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         phases[name] = {
             "build_s": round(best_build, 3),
-            "probe_s": round(max(warm_build - best_build, 0.0), 3),
+            "probe_s": round(probe_cost, 3),
+            "warm_s": round(max(warm_build - best_build - probe_cost, 0.0), 3),
             "exec_s": round(best_exec, 3),
         }
         # Release the query's py4j plan refs so the ContextCleaner can drop

@@ -87,7 +87,7 @@ def _prep_rects(polygons: DataFrame, cell_size: float) -> DataFrame:
 # (planner.plan_key — analyzed plan stripped of expression ids), so a
 # rebuilt identical plan (every gate query sharing a layer, every bench
 # repeat) re-uses the measurement instead of re-running the eager probe job.
-_CELL_SIZE_CACHE: dict[int, float] = {}
+_CELL_SIZE_CACHE: dict[str, float] = {}
 
 
 def adaptive_cell_size(rects: DataFrame) -> float:
@@ -101,37 +101,50 @@ def adaptive_cell_size(rects: DataFrame) -> float:
     key = planner.plan_key(rects)
     if key in _CELL_SIZE_CACHE:
         return _CELL_SIZE_CACHE[key]
-    row = rects.agg(
-        F.avg(F.expr("GREATEST(hw, hh)")).alias("m")
-    ).collect()[0]
+    stored = planner._store_get("cell_size", key)
+    if stored is not None:
+        _CELL_SIZE_CACHE[key] = float(stored)
+        return float(stored)
+    with planner._probe_timer():
+        row = rects.agg(
+            F.avg(F.expr("GREATEST(hw, hh)")).alias("m")
+        ).collect()[0]
     m = float(row["m"] or cells.DEFAULT_CELL_SIZE / 2)
     cs = min(max(2.0 * m, 4.0), 200.0)
+    planner._store_put("cell_size", key, cs)
     if len(_CELL_SIZE_CACHE) > 256:
         _CELL_SIZE_CACHE.clear()
     _CELL_SIZE_CACHE[key] = cs
     return cs
 
 
-_DENSITY_CACHE: dict[int, float] = {}
+_DENSITY_CACHE: dict[str, float] = {}
 
 
 def point_density(points: DataFrame) -> float:
     """Points per unit area over the layer's bbox — the plan-time probe
-    that sizes adaptive first-phase radii (memoized per canonical plan)."""
+    that sizes adaptive first-phase radii (memoized per canonical plan,
+    persisted across sessions for file-backed plans)."""
     key = planner.plan_key(points)
     if key in _DENSITY_CACHE:
         return _DENSITY_CACHE[key]
-    row = points.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("x").alias("x0"), F.max("x").alias("x1"),
-        F.min("y").alias("y0"), F.max("y").alias("y1"),
-    ).collect()[0]
+    stored = planner._store_get("density", key)
+    if stored is not None:
+        _DENSITY_CACHE[key] = float(stored)
+        return float(stored)
+    with planner._probe_timer():
+        row = points.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        ).collect()[0]
     area = max(
         (float(row["x1"]) - float(row["x0"]))
         * (float(row["y1"]) - float(row["y0"])),
         1e-9,
     )
     rho = float(row["n"]) / area
+    planner._store_put("density", key, rho)
     if len(_DENSITY_CACHE) > 256:
         _DENSITY_CACHE.clear()
     _DENSITY_CACHE[key] = rho

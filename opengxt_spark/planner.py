@@ -18,7 +18,11 @@ only at parquet/Iceberg scale) unless the caller forces one.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import re
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -50,56 +54,209 @@ _SOURCE_EPOCH: list[str] = [""]
 
 def set_source_epoch(tag: str) -> None:
     """Called by world.register_tables with the sf dir so probe caches never
-    carry a measurement across different source datasets."""
-    _SOURCE_EPOCH[0] = str(tag)
+    carry a measurement across different source datasets.
+
+    The epoch mixes in a cheap fingerprint of the directory listing
+    (name/size/mtime per table) so a REGENERATED dataset at the same path
+    invalidates every persisted probe — a stale count/minmax could mis-size
+    the packed top-k encoding, so staleness must be structural, not
+    best-effort."""
+    tag = str(tag)
+    fp = ""
+    try:
+        if os.path.isdir(tag):
+            parts = []
+            for name in sorted(os.listdir(tag)):
+                try:
+                    st = os.stat(os.path.join(tag, name))
+                    parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+                except OSError:
+                    pass
+            fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    _SOURCE_EPOCH[0] = f"{tag}@{fp}"
 
 
-def plan_key(df: DataFrame) -> int:
+def plan_key(df: DataFrame) -> str:
     """Canonical identity of a DataFrame's source+transform chain: analyzed
-    plan text with expression ids stripped, plus the source epoch."""
+    plan text with expression ids stripped, plus the source epoch — a
+    STABLE md5 digest (not Python ``hash``, which is salted per process)
+    so probe results can persist across driver sessions.
+
+    Plans whose only source is a LocalRelation (createDataFrame test
+    fixtures) print no data in the analyzed plan, so two different local
+    frames with one schema would collide across sessions; their keys get a
+    ``mem:`` prefix and are confined to the in-memory tier."""
     s = df._jdf.queryExecution().analyzed().toString()
-    return hash((_SOURCE_EPOCH[0], _EXPR_ID.sub("", s)))
+    digest = hashlib.md5(
+        (_SOURCE_EPOCH[0] + "\x00" + _EXPR_ID.sub("", s)).encode()
+    ).hexdigest()
+    if "LocalRelation" in s or "LocalTableScan" in s:
+        return "mem:" + digest
+    return digest
 
 
-_COUNT_CACHE: dict[tuple[int, int], int] = {}
+# ---------------------------------------------------------------------------
+# Persistent probe tier (VERDICT r4 #3). Cold sessions re-paid ~12 s of
+# serial driver probe jobs (density/count/minmax/hot-cell) that the
+# in-memory memoization only amortizes within a session. The probes are a
+# handful of floats keyed by (source epoch, canonical plan) — persist them
+# to one small JSON beside the user cache dir (override/disable with
+# OPENGXT_PROBE_CACHE=path | 0). Write-through with merge-on-save + atomic
+# rename, so concurrent bench/pytest processes can only lose a probe (it
+# re-fires), never corrupt one. At cluster scale the same file would sit
+# beside the dataset (e.g. <table>/_probe_cache.json) keyed identically.
+# ---------------------------------------------------------------------------
+
+_PERSIST: dict[str, dict] = {}
+_PERSIST_LOADED: list[bool] = [False]
+
+
+def _persist_path() -> str | None:
+    p = os.environ.get("OPENGXT_PROBE_CACHE")
+    if p is not None and p.strip().lower() in ("0", "off", "none", ""):
+        return None
+    return p or os.path.join(
+        os.path.expanduser("~"), ".cache", "opengxt_spark", "probes.json"
+    )
+
+
+def _store() -> dict:
+    if not _PERSIST_LOADED[0]:
+        path = _persist_path()
+        if path:
+            try:
+                with open(path) as f:
+                    _PERSIST.update(json.load(f))
+            except (OSError, ValueError):
+                pass
+        _PERSIST_LOADED[0] = True
+    return _PERSIST
+
+
+_JSON_SCALARS = (int, float, str, bool, type(None))
+
+
+def _store_get(kind: str, key: str):
+    if key.startswith("mem:") or _persist_path() is None:
+        return None
+    return _store().get(kind, {}).get(key)
+
+
+def _store_put(kind: str, key: str, value) -> None:
+    path = _persist_path()
+    if path is None or key.startswith("mem:"):
+        return
+    if isinstance(value, (tuple, list)):
+        if not all(isinstance(v, _JSON_SCALARS) for v in value):
+            return
+        value = list(value)
+    elif not isinstance(value, _JSON_SCALARS):
+        return
+    st = _store()
+    st.setdefault(kind, {})[key] = value
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        merged: dict = {}
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            pass
+        for k, d in st.items():
+            merged.setdefault(k, {}).update(d)
+        # Bound the file: tmp-dir fixtures (unique paths every pytest run)
+        # accumulate dead keys; past the cap keep only this session's.
+        if sum(len(d) for d in merged.values()) > 8192:
+            merged = {k: dict(d) for k, d in st.items()}
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+#: Wall-seconds spent in ACTUAL probe jobs this session (cache misses
+#: only) — bench.py reports the per-query delta as probe_s, replacing the
+#: old warm-minus-steady heuristic that conflated probe cost with the
+#: first execution's codegen/JIT warmup.
+_PROBE_SECONDS: list[float] = [0.0]
+
+
+def probe_seconds() -> float:
+    return _PROBE_SECONDS[0]
+
+
+class _probe_timer:
+    def __enter__(self):
+        import time
+
+        self._t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        _PROBE_SECONDS[0] += time.time() - self._t0
+        return False
+
+
+_COUNT_CACHE: dict[tuple[str, int], int] = {}
 
 
 def cached_count(df: DataFrame, cap: int | None = None) -> int:
     """Memoized (optionally capped) count — at most one eager job per
-    distinct source/plan per session. ``cap`` returns min(count, cap + 1)
-    via an early-stopping limit."""
+    distinct source/plan per session, and (for file-backed plans) per
+    source epoch ACROSS sessions via the persistent tier. ``cap`` returns
+    min(count, cap + 1) via an early-stopping limit."""
     key = (plan_key(df), cap or -1)
     n = _COUNT_CACHE.get(key)
     if n is None:
-        n = (df.limit(cap + 1) if cap else df).count()
-        if len(_COUNT_CACHE) > 512:
-            _COUNT_CACHE.clear()
-        _COUNT_CACHE[key] = n
+        stored = _store_get("count", f"{key[0]}:{key[1]}")
+        n = int(stored) if stored is not None else None
+    if n is None:
+        with _probe_timer():
+            n = (df.limit(cap + 1) if cap else df).count()
+        _store_put("count", f"{key[0]}:{key[1]}", n)
+    if len(_COUNT_CACHE) > 512:
+        _COUNT_CACHE.clear()
+    _COUNT_CACHE[key] = n
     return n
 
 
-_MINMAX_CACHE: dict[tuple[int, str], tuple] = {}
+_MINMAX_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def cached_minmax(df: DataFrame, col: str) -> tuple:
     """Memoized (min, max) of one column — a single cheap column-pruned
-    aggregate job per distinct source/plan per session. Used to size the
-    packed top-k encoding (knn_join): the id bound decides the pack
-    factor, and the probe is paid once per session like cached_count."""
+    aggregate job per distinct source/plan per session (persisted across
+    sessions when the values are JSON scalars). Used to size the packed
+    top-k encoding (knn_join): the id bound decides the pack factor; the
+    epoch fingerprint in plan_key guarantees a regenerated dataset can
+    never reuse a stale bound."""
     key = (plan_key(df), col)
     mm = _MINMAX_CACHE.get(key)
     if mm is None:
+        stored = _store_get("minmax", f"{key[0]}:{col}")
+        mm = tuple(stored) if stored is not None else None
+    if mm is None:
         from pyspark.sql import functions as F
 
-        row = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx")).first()
+        with _probe_timer():
+            row = df.agg(
+                F.min(col).alias("_mn"), F.max(col).alias("_mx")
+            ).first()
         mm = (row["_mn"], row["_mx"])
-        if len(_MINMAX_CACHE) > 512:
-            _MINMAX_CACHE.clear()
-        _MINMAX_CACHE[key] = mm
+        _store_put("minmax", f"{key[0]}:{col}", mm)
+    if len(_MINMAX_CACHE) > 512:
+        _MINMAX_CACHE.clear()
+    _MINMAX_CACHE[key] = mm
     return mm
 
 
-_NPART_CACHE: dict[int, int] = {}
+_NPART_CACHE: dict[str, int] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -143,23 +300,32 @@ HOT_CELL_SALT_FACTOR = 4.0
 HOT_CELL_MIN_ROWS = 250_000
 MAX_SALT = 32
 
-_HOTCELL_CACHE: dict[int, int] = {}
+_HOTCELL_CACHE: dict[str, int] = {}
 
 
 def max_cell_rows(probe: DataFrame) -> int:
     """Memoized size of the probe side's hottest (cell_x, cell_y) group —
     a two-stage count job (map-side partial agg, #cells rows shuffled),
-    fired at most once per canonical plan per session."""
+    fired at most once per canonical plan per session and persisted
+    across sessions for file-backed plans."""
     key = plan_key(probe)
     n = _HOTCELL_CACHE.get(key)
     if n is None:
-        row = (
-            probe.groupBy("cell_x", "cell_y")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("m"))
-            .first()
-        )
+        stored = _store_get("hotcell", key)
+        if stored is not None:
+            n = int(stored)
+            _HOTCELL_CACHE[key] = n
+            return n
+    if n is None:
+        with _probe_timer():
+            row = (
+                probe.groupBy("cell_x", "cell_y")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("m"))
+                .first()
+            )
         n = int(row["m"] or 0)
+        _store_put("hotcell", key, n)
         if len(_HOTCELL_CACHE) > 512:
             _HOTCELL_CACHE.clear()
         _HOTCELL_CACHE[key] = n

@@ -16,11 +16,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def _skewed_points(spark):
-    """All 5000 points inside ONE 25x25 cell — the worst-case hot cell."""
+    """All 5000 points inside a 2x2-unit blob — ONE hot cell at ANY cell
+    size the planner's adaptive probe might pick (a 20-unit spread split
+    across cells at cs=11, leaving the top cell under the 4x-average salt
+    threshold: the auto-salt decision then correctly declines, which is
+    not what these tests exercise)."""
     return spark.range(5000).selectExpr(
         "id AS pid",
-        "5.0 + CAST((id * 2654435761) % 20000 AS DOUBLE) / 1000.0 AS x",
-        "5.0 + CAST((id * 1597334677) % 20000 AS DOUBLE) / 1000.0 AS y",
+        "5.0 + CAST((id * 2654435761) % 2000 AS DOUBLE) / 1000.0 AS x",
+        "5.0 + CAST((id * 1597334677) % 2000 AS DOUBLE) / 1000.0 AS y",
         "id % 7 AS w",
     )
 
