@@ -182,6 +182,41 @@ def q_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.nearest_join(l, r, radius=25.0).select("pid_l", "pid_r", "dist")
 
 
+# Same world, radius given in FEET (25 m / 0.3048, an exact IEEE
+# round-trip back to 25.0), output distance reported in feet — the
+# DistanceUnit contract of NearOperation.java:96-117 (radius in) and
+# 145-155 (distance out) with UnitConverter.java's international factors.
+# The join SET is bit-identical to nearest_join_r25; only the dist column
+# is scaled, and the oracle replays the identical double ops.
+_NEAREST_FEET_ORACLE = f"""
+{world.oracle_cte('points_events', 'points_part')}
+SELECT pid_l, pid_r, dist_ft FROM (
+  SELECT l.pid AS pid_l, r.pid AS pid_r,
+         ROUND(SQRT((l.x - r.x) * (l.x - r.x)
+                  + (l.y - r.y) * (l.y - r.y)) / 0.3048, 6) AS dist_ft,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.pid
+           ORDER BY (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) ASC,
+                    r.pid ASC
+         ) AS rn
+  FROM points_events l
+  JOIN points_part r
+    ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 625.0
+) WHERE rn = 1
+"""
+
+
+@_register("nearest_join_r25_feet", _NEAREST_FEET_ORACLE)
+def q_nearest_join_feet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest_join_r25 with the radius given in Feet (DistanceUnit.java:
+    26-58): unit converts at plan time, dist reports in feet."""
+    l = world.points_events(spark, sf_dir)
+    r = world.points_part(spark, sf_dir)
+    return joins.nearest_join(
+        l, r, radius=25.0 / 0.3048, unit="Feet"
+    ).select("pid_l", "pid_r", F.col("dist").alias("dist_ft"))
+
+
 # Ordering and the presentation distance both derive from the EXACT
 # integer-mm squared distance (coords are exact n/1000 doubles, so
 # ROUND(x*1000) recovers n): the true distance order, shared bit-for-bit
@@ -3098,6 +3133,15 @@ def q_shp_roundtrip_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout and back, flattened to one row per vertex — bit-exact stored
     doubles vs the ring-generating oracle."""
     return shapefile.shp_roundtrip_donuts(spark, sf_dir)
+
+
+@_register("shp_roundtrip_lines", shapefile.shp_roundtrip_lines_oracle())
+def q_shp_roundtrip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolyLine (type 3) records with NumParts=2 and UNEQUAL part lengths
+    through the shapefile sink and back, one row per vertex — bit-exact
+    stored doubles vs the part-generating oracle (the reference fixture
+    set's linestring.shp surface, SpatialStatisticsTestCase.java:16-41)."""
+    return shapefile.shp_roundtrip_lines(spark, sf_dir)
 
 
 @_register("tif_roundtrip_raster", geotiff.tif_roundtrip_oracle())

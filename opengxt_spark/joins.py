@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
-from . import cells, planner, world
+from . import cells, planner, units, world
 
 
 # Intermediates persisted by two-phase joins (phase-1 results feed the
@@ -336,6 +336,7 @@ def distance_band_join(
     strategy: str | None = None,
     tile_size: float | None = None,
     emit_d2m: bool = False,
+    unit: str | None = None,
 ) -> DataFrame:
     """All (left, right) point pairs within ``radius`` (Euclidean).
 
@@ -356,7 +357,14 @@ def distance_band_join(
     with zero further exchange — the both-sides-huge path where neither
     fits a broadcast and a cell shuffle of the exploded build would
     dominate. Pair output and downstream semantics are identical.
+
+    ``unit``: the DistanceUnit the radius is given in (Meters, Feet,
+    Miles, ... — GT/enumeration/DistanceUnit.java:26-58). Converted to
+    world units at plan time and the output ``dist`` converted back — the
+    NearOperation.java:96-155 contract; Default/None = world units.
     """
+    ufac = units.factor(unit)
+    radius = float(radius) * ufac
     cs = float(cell_size or max(radius / 2.0, 1e-6))
     lid, lx, ly = left_cols
     rid_, rx, ry = right_cols
@@ -408,7 +416,9 @@ def distance_band_join(
         ).where(d2 <= F.lit(rad * rad))
         return joined.select(
             "pid_l", "pid_r", d2.alias("d2"),
-            F.round(F.sqrt(d2), 6).alias("dist"),
+            F.round(
+                F.sqrt(d2) / F.lit(ufac) if ufac != 1.0 else F.sqrt(d2), 6
+            ).alias("dist"),
             *([_d2m_expr().alias("d2m")] if emit_d2m else []),
             *[F.col(k) for k in (*lex, *rex)],
         )
@@ -452,7 +462,9 @@ def distance_band_join(
         "pid_l",
         "pid_r",
         d2.alias("d2"),
-        F.round(F.sqrt(d2), 6).alias("dist"),
+        F.round(
+            F.sqrt(d2) / F.lit(ufac) if ufac != 1.0 else F.sqrt(d2), 6
+        ).alias("dist"),
         *([_d2m_expr().alias("d2m")] if emit_d2m else []),
         *[F.col(k) for k in (*lex, *rex)],
     )
@@ -480,6 +492,7 @@ def band_stats_join(
     tile_size: float | None = None,
     with_sq: bool = False,
     value_col2: str | None = None,
+    unit: str | None = None,
 ) -> DataFrame:
     """Per left point: (cnt, sum_v) of right points within ``radius``.
 
@@ -516,7 +529,11 @@ def band_stats_join(
       would be refined out anyway.
     - ``None`` — broadcast when the right side row-probe says it fits,
       else tiled.
+
+    ``unit``: DistanceUnit of the radius (DistanceUnit.java:26-58),
+    converted to world units at plan time; output carries no distances.
     """
+    radius = float(radius) * units.factor(unit)
     cs = float(max(radius / cell_ratio, 1e-6))
     r2 = float(radius) * float(radius)
     lid, lx, ly = left_cols
@@ -900,6 +917,7 @@ def nearest_join(
     keep_all: bool = False,
     exclude_self: bool = False,
     first_radius: float | None = None,
+    unit: str | None = None,
     **kw,
 ) -> DataFrame:
     """Nearest-feature join (1:1) within a search radius.
@@ -913,7 +931,16 @@ def nearest_join(
     The bounded radius is the scalable contract: an unbounded nearest join
     needs iterative ring expansion; at 100 TB a radius cap (the reference's
     ``searchRadius``) keeps the candidate set O(points-per-cell).
+
+    ``unit``: DistanceUnit the radius (and first_radius) is given in;
+    converted to world units at plan time, and the output ``dist``
+    reported back in that unit — NearOperation.java:96-117 (radius in)
+    and 145-155 (distance out). Default/None = world units.
     """
+    ufac = units.factor(unit)
+    radius = float(radius) * ufac
+    if first_radius is not None:
+        first_radius = float(first_radius) * ufac
     # Iterative ring expansion (SURVEY §2.4): a wide search radius over a
     # dense layer yields O(n * pi r^2 * density) candidate pairs; most left
     # rows find their nearest within a much smaller ring. Start at the
@@ -1081,6 +1108,12 @@ def nearest_join(
         best = parts[0]
         for p in parts[1:]:
             best = best.unionByName(p)
+    if ufac != 1.0:
+        # Output distance in the requested unit (NearOperation.java:145-155)
+        # — recomputed from the exact d2 so there is a single rounding.
+        best = best.withColumn(
+            "dist", F.round(F.sqrt(F.col("d2")) / F.lit(ufac), 6)
+        )
     if keep_all:
         base = left.select(F.col(lid).alias("pid_l"))
         return base.join(best, on="pid_l", how="left")
@@ -1111,6 +1144,7 @@ def knn_join(
     exclude_self: bool = True,
     first_radius: float | None = None,
     mm_exact: bool = False,
+    unit: str | None = None,
     **kw,
 ) -> DataFrame:
     """k-nearest-neighbors within radius -> (pid_l, pid_r, dist, rank).
@@ -1142,7 +1176,15 @@ def knn_join(
     so nothing outside phase 1 can displace it). Only the unresolved
     remainder re-joins at the full radius. Semantics are identical to the
     single-phase join.
+
+    ``unit``: DistanceUnit of the radius; converted to world units at
+    plan time, output ``dist`` reported in that unit (DistanceUnit.java:
+    26-58, NearOperation.java:96-155 contract).
     """
+    ufac = units.factor(unit)
+    radius = float(radius) * ufac
+    if first_radius is not None:
+        first_radius = float(first_radius) * ufac
     rho = point_density(right)
     r1 = (
         first_radius
@@ -1179,8 +1221,19 @@ def knn_join(
             p = p.where(F.col("pid_l") != F.col("pid_r"))
         return p
 
+    def _unitize(df: DataFrame) -> DataFrame:
+        # dist in the requested unit, recomputed from the exact d2 so the
+        # conversion is a single rounding (NearOperation.java:145-155).
+        if ufac == 1.0:
+            return df
+        return df.withColumn(
+            "dist", F.round(F.sqrt(F.col("d2")) / F.lit(ufac), 6)
+        )
+
     if r1 <= 0 or r1 >= radius:
-        return _knn_rank(_pairs(left, radius), k, by="d2m" if packed else "d2")
+        return _unitize(
+            _knn_rank(_pairs(left, radius), k, by="d2m" if packed else "d2")
+        )
 
     # Iterative ring expansion. Per step the top-k reduction is a HASH
     # aggregate — sort_array(collect_list(struct(d2, pid_r))) sliced to k —
@@ -1344,7 +1397,7 @@ def knn_join(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _unitize(out)
 
 
 def attribute_join(

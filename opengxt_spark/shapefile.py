@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SHP_POINT = 1
+SHP_POLYLINE = 3
 SHP_POLYGON = 5
 
 _LINEAGE_SCHEMA = T.StructType(
@@ -392,10 +393,14 @@ def read_rects_shp(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _polys_shp_bytes(geoms: list[list[np.ndarray]]) -> tuple[bytes, bytes]:
-    """(.shp, .shx) for general polygons. ``geoms[i]`` is a list of rings,
-    each an (n_k, 2) float64 array, first ring outer (clockwise), later
-    rings holes (counter-clockwise), each ring closed."""
+def _polys_shp_bytes(
+    geoms: list[list[np.ndarray]], shape_type: int = SHP_POLYGON
+) -> tuple[bytes, bytes]:
+    """(.shp, .shx) for general multi-part records. ``geoms[i]`` is a list
+    of parts, each an (n_k, 2) float64 array. For SHP_POLYGON parts are
+    rings (first outer clockwise, later holes counter-clockwise, closed);
+    for SHP_POLYLINE (type 3 — identical variable-length record layout,
+    ESRI spec p.12) parts are open line strings."""
     recs, idx = [], []
     off = 100
     gx0 = gy0 = np.inf
@@ -408,7 +413,7 @@ def _polys_shp_bytes(geoms: list[list[np.ndarray]]) -> tuple[bytes, bytes]:
         gx0, gy0 = min(gx0, x0), min(gy0, y0)
         gx1, gy1 = max(gx1, x1), max(gy1, y1)
         content = (
-            struct.pack("<i4d", SHP_POLYGON, x0, y0, x1, y1)
+            struct.pack("<i4d", shape_type, x0, y0, x1, y1)
             + struct.pack("<ii", len(rings), len(pts))
             + parts.tobytes()
             + pts.astype("<f8").tobytes()
@@ -422,12 +427,14 @@ def _polys_shp_bytes(geoms: list[list[np.ndarray]]) -> tuple[bytes, bytes]:
         if geoms
         else (0.0, 0.0, 0.0, 0.0)
     )
-    shp = _shp_header(SHP_POLYGON, 100 + len(body), bbox) + body
-    shx = _shp_header(SHP_POLYGON, 100 + 8 * len(geoms), bbox) + b"".join(idx)
+    shp = _shp_header(shape_type, 100 + len(body), bbox) + body
+    shx = _shp_header(shape_type, 100 + 8 * len(geoms), bbox) + b"".join(idx)
     return shp, shx
 
 
-def write_polys_shp(df: DataFrame, path: str) -> DataFrame:
+def write_polys_shp(
+    df: DataFrame, path: str, shape_type: int = SHP_POLYGON
+) -> DataFrame:
     """Shard a general polygon layer (gid BIGINT, rings
     array<array<array<double>>> — rings[r][k] = [x, y]) as multi-ring
     polygon shapefiles; one shard per partition, gid in the .dbf."""
@@ -448,7 +455,7 @@ def write_polys_shp(df: DataFrame, path: str) -> DataFrame:
              for ring in rings]
             for rings in pdf["rings"]
         ]
-        shp, shx = _polys_shp_bytes(geoms)
+        shp, shx = _polys_shp_bytes(geoms, shape_type)
         dbf = _dbf_bytes(pdf, [("gid", "N", 18)])
         nbytes = _write_shard(path, stem, shp, shx, dbf)
         yield pd.DataFrame(
@@ -458,14 +465,21 @@ def write_polys_shp(df: DataFrame, path: str) -> DataFrame:
     return df.select("gid", "rings").mapInPandas(shard, schema=_LINEAGE_SCHEMA)
 
 
-def read_polys_shp(spark: SparkSession, path: str) -> DataFrame:
-    """Sharded multi-ring polygon source -> flattened vertex frame
-    (gid, ring, seq, x, y): one row per vertex, ring/seq giving the part
-    index and the vertex position within it."""
+def read_polys_shp(
+    spark: SparkSession,
+    path: str,
+    expect_type: int = SHP_POLYGON,
+    part_col: str = "ring",
+) -> DataFrame:
+    """Sharded multi-part source -> flattened vertex frame
+    (gid, <part_col>, seq, x, y): one row per vertex, part/seq giving the
+    part index and the vertex position within it. The header's shape type
+    must match ``expect_type`` (format conformance — a polygon reader
+    pointed at a polyline layer fails loudly, not silently)."""
     schema = T.StructType(
         [
             T.StructField("gid", T.LongType()),
-            T.StructField("ring", T.IntegerType()),
+            T.StructField(part_col, T.IntegerType()),
             T.StructField("seq", T.IntegerType()),
             T.StructField("x", T.DoubleType()),
             T.StructField("y", T.DoubleType()),
@@ -476,6 +490,11 @@ def read_polys_shp(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             for _, row in pdf.iterrows():
                 buf = bytes(row["shp"])
+                (ftype,) = struct.unpack_from("<i", buf, 32)
+                if ftype != expect_type:
+                    raise ValueError(
+                        f"shapefile type {ftype}, expected {expect_type}"
+                    )
                 gids = _parse_dbf(bytes(row["dbf"]))["gid"].to_numpy(np.int64)
                 out_g, out_r, out_s, out_x, out_y = [], [], [], [], []
                 off, i = 100, 0
@@ -501,7 +520,7 @@ def read_polys_shp(spark: SparkSession, path: str) -> DataFrame:
                     yield pd.DataFrame(
                         {
                             "gid": np.concatenate(out_g),
-                            "ring": np.concatenate(out_r),
+                            part_col: np.concatenate(out_r),
                             "seq": np.concatenate(out_s),
                             "x": np.concatenate(out_x),
                             "y": np.concatenate(out_y),
@@ -509,6 +528,25 @@ def read_polys_shp(spark: SparkSession, path: str) -> DataFrame:
                     )
 
     return _binary_shards(spark, path).mapInPandas(parse, schema=schema)
+
+
+def write_lines_shp(df: DataFrame, path: str) -> DataFrame:
+    """Shard a polyline layer (gid BIGINT, parts
+    array<array<array<double>>> — parts[p][k] = [x, y], parts open) as
+    PolyLine (type 3) shapefiles — the record layout is the polygon one
+    (ESRI spec: types 3 and 5 share bbox+numparts+numpoints+parts+xy);
+    mirrors the reference fixture set's linestring.shp
+    (GTT/.../SpatialStatisticsTestCase.java:16-41)."""
+    return write_polys_shp(
+        df.withColumnRenamed("parts", "rings"), path, shape_type=SHP_POLYLINE
+    )
+
+
+def read_lines_shp(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded PolyLine source -> vertex frame (gid, part, seq, x, y)."""
+    return read_polys_shp(
+        spark, path, expect_type=SHP_POLYLINE, part_col="part"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -664,5 +702,64 @@ SELECT CAST(r.rid AS BIGINT) AS gid, CAST(v.ring AS INT) AS ring,
        r.cx + v.ax * r.hw AS x, r.cy + v.ay * r.hh AS y
 FROM rects_customer r
 CROSS JOIN (VALUES {verts}) AS v(ring, seq, ax, ay)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# PolyLine fixture: each order segment becomes a 2-part polyline — part 0
+# runs P1 -> midpoint -> P2 (3 vertices), part 1 is the segment offset by
+# +1 in y (2 vertices) — exercising type-3 records with NumParts=2 and
+# UNEQUAL part lengths end to end (the reference's own fixture set leads
+# with linestring.shp: GTT/.../SpatialStatisticsTestCase.java:16-41).
+# ---------------------------------------------------------------------------
+
+LINES_PARTS_SQL = """
+SELECT lid AS gid, array(
+  array(array(x1, y1), array((x1 + x2) / 2.0, (y1 + y2) / 2.0), array(x2, y2)),
+  array(array(x1, y1 + 1.0), array(x2, y2 + 1.0))
+) AS parts FROM lines_orders
+"""
+
+
+def lines_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from . import world
+
+    path = _fixture_dir(sf_dir, "lines")
+    key = (path, "lines")
+    if key not in _FIXED:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        world.register_layers(spark, sf_dir)
+        df = spark.sql(LINES_PARTS_SQL)
+        write_lines_shp(df.repartition(_shards(spark, df), "gid"), path).collect()
+        _FIXED.add(key)
+    return path
+
+
+def shp_roundtrip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-part polylines through the type-3 shapefile sink and back,
+    flattened to one row per vertex — bit-exact (stored f8 doubles)."""
+    path = lines_fixture(spark, sf_dir)
+    return read_lines_shp(spark, path)
+
+
+def shp_roundtrip_lines_oracle() -> str:
+    from . import world
+
+    return (
+        world.oracle_cte("lines_orders")
+        + """
+SELECT CAST(l.lid AS BIGINT) AS gid, CAST(v.part AS INT) AS part,
+       CAST(v.seq AS INT) AS seq,
+       CASE v.vid WHEN 0 THEN l.x1 WHEN 1 THEN (l.x1 + l.x2) / 2.0
+                  WHEN 2 THEN l.x2 WHEN 3 THEN l.x1 ELSE l.x2 END AS x,
+       CASE v.vid WHEN 0 THEN l.y1 WHEN 1 THEN (l.y1 + l.y2) / 2.0
+                  WHEN 2 THEN l.y2 WHEN 3 THEN l.y1 + 1.0
+                  ELSE l.y2 + 1.0 END AS y
+FROM lines_orders l
+CROSS JOIN (VALUES (0, 0, 0), (0, 1, 1), (0, 2, 2),
+                   (1, 0, 3), (1, 1, 4)) AS v(part, seq, vid)
 """
     )

@@ -33,9 +33,19 @@ from . import cells, planner, world
 from .world import dlit
 
 
-def buffer_points(points: DataFrame, dist_expr: str = "w % 10 + 2") -> DataFrame:
+def buffer_points(
+    points: DataFrame, dist_expr: str = "w % 10 + 2", unit: str | None = None
+) -> DataFrame:
     """Buffer by an expression distance -> parametric circle layer
-    (pid, cx, cy, radius, buf_dist, buf_area)."""
+    (pid, cx, cy, radius, buf_dist, buf_area).
+
+    ``unit``: DistanceUnit the expression's value is in (DistanceUnit.
+    java:26-58); the evaluated distance converts to world units in-plan,
+    mirroring BufferExpressionOperation's UnitConverter use."""
+    from . import units
+
+    if unit is not None and units.factor(unit) != 1.0:
+        dist_expr = f"(({dist_expr}) * {units.factor(unit)!r})"
     return points.select(
         "pid",
         F.col("x").alias("cx"),

@@ -76,10 +76,15 @@ _SSB_EXPRS = (
 )
 
 
-def single_sided_buffers(segments: DataFrame, distance: float) -> DataFrame:
+def single_sided_buffers(
+    segments: DataFrame, distance: float, unit: str | None = None
+) -> DataFrame:
     """Left-side offset rectangle per segment (the single-sided buffer of a
-    straight segment is exactly this quad). Zero-length segments dropped."""
-    d = dlit(float(distance))
+    straight segment is exactly this quad). Zero-length segments dropped.
+    ``unit``: DistanceUnit of ``distance`` (DistanceUnit.java:26-58)."""
+    from . import units
+
+    d = dlit(units.to_world(distance, unit))
     df = planner.ensure_parallelism(segments).selectExpr(
         "lid", "x1", "y1", "x2", "y2",
         f"SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len",
@@ -104,9 +109,16 @@ WHERE len > 0.0
     )
 
 
-def variable_buffers(points: DataFrame, dist_sql: str = "val / 100.0") -> DataFrame:
+def variable_buffers(
+    points: DataFrame, dist_sql: str = "val / 100.0", unit: str | None = None
+) -> DataFrame:
     """Per-feature buffer distance from an attribute expression
-    (VariableBufferProcess). Output (pid, buf_dist, buf_area)."""
+    (VariableBufferProcess). Output (pid, buf_dist, buf_area).
+    ``unit``: DistanceUnit of the expression (DistanceUnit.java:26-58)."""
+    from . import units
+
+    if unit is not None and units.factor(unit) != 1.0:
+        dist_sql = f"(({dist_sql}) * {units.factor(unit)!r})"
     df = planner.ensure_parallelism(points)
     return df.selectExpr(
         "pid",

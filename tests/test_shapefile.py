@@ -147,3 +147,25 @@ def test_donut_roundtrip_spark(spark, sf_dir):
         inner = g[g.ring == 1]
         assert inner.x.min() > outer.x.min() and inner.x.max() < outer.x.max()
         assert inner.y.min() > outer.y.min() and inner.y.max() < outer.y.max()
+
+
+def test_polyline_roundtrip_spark(spark, sf_dir):
+    """Type-3 PolyLine sink/source: every line comes back with 2 parts of
+    UNEQUAL lengths (3 + 2 vertices), part 0 passes through the exact
+    midpoint, and a polygon reader pointed at the line layer fails loudly."""
+    import pytest
+
+    from opengxt_spark import shapefile as S
+
+    path = S.lines_fixture(spark, sf_dir)
+    pdf = S.read_lines_shp(spark, path).toPandas()
+    n_lines = pdf["gid"].nunique()
+    assert len(pdf) == n_lines * 5
+    per = pdf.groupby(["gid", "part"]).size().unstack()
+    assert (per[0] == 3).all() and (per[1] == 2).all()
+    for gid, g in pdf.groupby("gid"):
+        p0 = g[g.part == 0].sort_values("seq")
+        assert p0.iloc[1].x == (p0.iloc[0].x + p0.iloc[2].x) / 2.0
+        assert p0.iloc[1].y == (p0.iloc[0].y + p0.iloc[2].y) / 2.0
+    with pytest.raises(Exception, match="shapefile type"):
+        S.read_polys_shp(spark, path).collect()
