@@ -2314,6 +2314,36 @@ def q_albers_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lcc_roundtrip_points",
+    reproject.lcc_roundtrip_sql(world.LAYER_SQL["points_part"]),
+)
+def q_lcc_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert conformal conic (spherical CONUS 102004 graticule, Snyder
+    §15) forward + inverse per point: metre-banded easting/northing +
+    1e-9-deg round-trip booleans — the same banding/threshold contract as
+    the Albers gate. Conformality pinned in tests/test_reproject.py."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(
+        reproject.lcc_roundtrip_sql(world.LAYER_SQL["points_part"])
+    )
+
+
+@_register(
+    "utm_to_lcc_points",
+    reproject.utm_to_lcc_sql(world.LAYER_SQL["points_part"]),
+)
+def q_utm_to_lcc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FAMILY reprojection: per-point UTM zone forward (ellipsoidal
+    TM) -> TM inverse -> LCC forward — the registry's compose-through-
+    WGS84 path as one shared SQL text; rt_ok bounds the geographic
+    mid-stage at the UTM series tolerance (1e-7 deg)."""
+    world.register_tables(spark, sf_dir)
+    return spark.sql(
+        reproject.utm_to_lcc_sql(world.LAYER_SQL["points_part"])
+    )
+
+
+@_register(
     "merc_roundtrip_points",
     reproject.merc_roundtrip_sql(world.LAYER_SQL["points_part"]),
 )

@@ -245,23 +245,59 @@ def _src_cols_sql(df: DataFrame) -> str:
     return cols
 
 
+def _is_utm(epsg: int) -> bool:
+    return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
+
+
+def _conic_registry():
+    """code -> (forward stages fn, inverse stages fn, (x, y) stage names).
+
+    5070 is the CONUS Albers graticule (spherical form, see the AEA block);
+    102004 the CONUS Lambert conformal conic (ESRI code, Snyder §15)."""
+    return {
+        5070: (aea_forward_stages, aea_inverse_stages, ("ax", "ay")),
+        102004: (lcc_forward_stages, lcc_inverse_stages, ("lx", "ly")),
+    }
+
+
 def reproject(
     df: DataFrame, from_epsg: int, to_epsg: int, x: str = "x", y: str = "y"
 ) -> DataFrame:
     """Reproject columns (x, y) of ``df`` from ``from_epsg`` to ``to_epsg``.
 
-    Supported pairs: 4326 <-> UTM zone (326xx/327xx), 4326 <-> Web
-    Mercator (3857), and the identity. For 4326 the x column is longitude,
-    y latitude; for the projected systems, metres. Other EPSG pairs raise
-    ValueError — the registry is deliberately explicit, not a silent
-    passthrough.
+    Registry (parity surface for ReprojectFeatureCollection.java:51):
+    geographic WGS84 (4326), Web Mercator (3857), any UTM zone
+    (326xx/327xx), CONUS Albers (5070), CONUS Lambert conformal conic
+    (ESRI:102004). A pair with 4326 on one side is a single staged
+    projection; any other pair COMPOSES through WGS84 (inverse then
+    forward — two chained whole-stage-codegen projections, still zero
+    shuffle / zero UDF). For 4326 the x column is longitude, y latitude;
+    for projected systems, metres. Unknown codes raise ValueError — the
+    registry is deliberately explicit, not a silent passthrough.
     """
     if from_epsg == to_epsg:
         return df
+    known = {4326, 3857, *_conic_registry()}
+
+    def _check(e: int) -> None:
+        if e not in known and not _is_utm(e):
+            raise ValueError(
+                f"unsupported CRS EPSG:{e}; registry: 4326, 3857, UTM "
+                "326xx/327xx, 5070 (Albers), 102004 (LCC)"
+            )
+
+    _check(from_epsg)
+    _check(to_epsg)
+    if from_epsg != 4326 and to_epsg != 4326:
+        # compose through geographic — the standard hub-and-spoke registry
+        return reproject(
+            reproject(df, from_epsg, 4326, x, y), 4326, to_epsg, x, y
+        )
     spark = df.sparkSession
     df.createOrReplaceTempView("_reproj_src")
     keep = [c for c in df.columns if c not in (x, y)]
     keep_sql = (", ".join(f"`{c}`" for c in keep) + ", ") if keep else ""
+    conics = _conic_registry()
     if from_epsg == 4326 and to_epsg == 3857:
         src = f"SELECT {keep_sql}`{x}` AS lon, `{y}` AS lat FROM _reproj_src"
         final = f"{keep_sql}mx AS `{x}`, my AS `{y}`"
@@ -270,6 +306,16 @@ def reproject(
         src = f"SELECT {keep_sql}`{x}` AS mx, `{y}` AS my FROM _reproj_src"
         final = f"{keep_sql}lon AS `{x}`, lat AS `{y}`"
         return spark.sql(_staged(src, merc_inverse_stages(), final))
+    if from_epsg == 4326 and to_epsg in conics:
+        fwd, _, (cx, cy) = conics[to_epsg]
+        src = f"SELECT {keep_sql}`{x}` AS lon, `{y}` AS lat FROM _reproj_src"
+        final = f"{keep_sql}{cx} AS `{x}`, {cy} AS `{y}`"
+        return spark.sql(_staged(src, fwd(), final))
+    if to_epsg == 4326 and from_epsg in conics:
+        _, inv, (cx, cy) = conics[from_epsg]
+        src = f"SELECT {keep_sql}`{x}` AS {cx}, `{y}` AS {cy} FROM _reproj_src"
+        final = f"{keep_sql}lon AS `{x}`, lat AS `{y}`"
+        return spark.sql(_staged(src, inv(), final))
     if from_epsg == 4326:
         lon0, fn = _utm_zone(to_epsg)
         src = (
@@ -278,18 +324,13 @@ def reproject(
         )
         final = f"{keep_sql}easting AS `{x}`, northing AS `{y}`"
         return spark.sql(_staged(src, tm_forward_stages(), final))
-    if to_epsg == 4326:
-        lon0, fn = _utm_zone(from_epsg)
-        src = (
-            f"SELECT {keep_sql}`{x}` AS easting, `{y}` AS northing, "
-            f"{dlit(lon0)} AS lon0, {dlit(fn)} AS fn FROM _reproj_src"
-        )
-        final = f"{keep_sql}lon AS `{x}`, lat AS `{y}`"
-        return spark.sql(_staged(src, tm_inverse_stages(), final))
-    raise ValueError(
-        f"unsupported reprojection EPSG:{from_epsg} -> EPSG:{to_epsg}; "
-        "one side must be 4326 and the other a UTM zone or 3857"
+    lon0, fn = _utm_zone(from_epsg)
+    src = (
+        f"SELECT {keep_sql}`{x}` AS easting, `{y}` AS northing, "
+        f"{dlit(lon0)} AS lon0, {dlit(fn)} AS fn FROM _reproj_src"
     )
+    final = f"{keep_sql}lon AS `{x}`, lat AS `{y}`"
+    return spark.sql(_staged(src, tm_inverse_stages(), final))
 
 
 # ---------------------------------------------------------------------------
@@ -431,6 +472,117 @@ def aea_inverse_stages() -> list[dict[str, str]]:
             ),
         },
     ]
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (spherical form; Snyder PP 1395 eqs. 15-1..15-5)
+# ---------------------------------------------------------------------------
+
+# CONUS LCC parameters (the ESRI:102004 graticule: standard parallels
+# 33/45, origin 39N 96W) on the authalic sphere — same spherical-form
+# choice (and rationale) as the Albers block above: the conformal property
+# and the round-trip identity hold exactly in either form.
+LCC_PHI1 = 33.0
+LCC_PHI2 = 45.0
+LCC_PHI0 = 39.0
+LCC_LON0 = -96.0
+R_LCC = R_AEA
+
+_LCC_N = math.log(
+    math.cos(math.radians(LCC_PHI1)) / math.cos(math.radians(LCC_PHI2))
+) / math.log(
+    math.tan(math.pi / 4.0 + math.radians(LCC_PHI2) / 2.0)
+    / math.tan(math.pi / 4.0 + math.radians(LCC_PHI1) / 2.0)
+)
+_LCC_F = (
+    math.cos(math.radians(LCC_PHI1))
+    * math.tan(math.pi / 4.0 + math.radians(LCC_PHI1) / 2.0) ** _LCC_N
+    / _LCC_N
+)
+_LCC_RHO0 = R_LCC * _LCC_F / math.tan(
+    math.pi / 4.0 + math.radians(LCC_PHI0) / 2.0
+) ** _LCC_N
+
+
+def lcc_forward_stages() -> list[dict[str, str]]:
+    """(lx, ly) metres from (lon, lat) degrees: rho = R F / tan^n(pi/4 +
+    phi/2), theta = n (lambda - lambda0); x = rho sin theta, y = rho0 -
+    rho cos theta (Snyder 15-1..15-4). Cone constants are Python-computed
+    literals; data-dependent trig is native TAN/SIN/COS (banded gate
+    columns absorb sub-ulp engine differences — the Albers rationale)."""
+    return [
+        {"tphi": f"TAN({dlit(math.pi / 4.0)} + lat * {dlit(D2R / 2.0)})"},
+        {"thl": f"({dlit(_LCC_N * D2R)} * (lon - {dlit(LCC_LON0)}))"},
+        {"rhol": f"({dlit(R_LCC * _LCC_F)} / POWER(tphi, {dlit(_LCC_N)}))"},
+        {
+            "lx": "(rhol * SIN(thl))",
+            "ly": f"({dlit(_LCC_RHO0)} - rhol * COS(thl))",
+        },
+    ]
+
+
+def lcc_inverse_stages() -> list[dict[str, str]]:
+    """(lon, lat) back from (lx, ly): rho = hypot(x, rho0 - y), theta =
+    atan2(x, rho0 - y), lat = 2 atan((R F / rho)^(1/n)) - pi/2
+    (Snyder 15-5; n > 0 for the northern-parallel CONUS cone)."""
+    return [
+        {"dyl": f"({dlit(_LCC_RHO0)} - ly)"},
+        {"rhli": "SQRT(lx * lx + dyl * dyl)"},
+        {
+            "lon": f"({dlit(LCC_LON0)} + ATAN2(lx, dyl) / {dlit(_LCC_N * D2R)})",
+            "lat": (
+                f"((2.0 * ATAN(POWER({dlit(R_LCC * _LCC_F)} / rhli, "
+                f"{dlit(1.0 / _LCC_N)})) - {dlit(math.pi / 2.0)}) / {dlit(D2R)})"
+            ),
+        },
+    ]
+
+
+def lcc_roundtrip_sql(layer_sql: str) -> str:
+    """LCC forward + inverse per point. Gate columns: metre-banded
+    easting/northing + rt_ok booleans at 1e-9 deg (same contract and
+    margin rationale as aea_roundtrip_sql)."""
+    fwd = _staged(
+        f"SELECT pid, {_LON_LAT_SRC(layer_sql)}",
+        lcc_forward_stages(),
+        "pid, lon AS lon_src, lat AS lat_src, lx, ly",
+    )
+    return _staged(
+        fwd,
+        lcc_inverse_stages(),
+        "pid, CAST(FLOOR(lx) AS BIGINT) AS x_m, "
+        "CAST(FLOOR(ly) AS BIGINT) AS y_m, "
+        "(ABS(lon - lon_src) < 0.000000001 AND "
+        "ABS(lat - lat_src) < 0.000000001) AS rt_ok",
+    )
+
+
+def utm_to_lcc_sql(layer_sql: str) -> str:
+    """CROSS-FAMILY composition: lon/lat -> per-point UTM zone (ellipsoidal
+    transverse Mercator forward), back to geographic (TM inverse), then
+    into the CONUS LCC cone (forward) — the registry's compose-through-
+    WGS84 path as ONE shared SQL text. Gate columns: metre-banded LCC
+    coordinates plus rt_ok asserting the geographic mid-stage recovered
+    the source within 1e-7 deg (the UTM series bound; LCC adds only
+    sub-ulp trig on top)."""
+    fwd = _staged(
+        _geo_src_sql(layer_sql),
+        tm_forward_stages(),
+        "pid, zone, lon0, fn, lon AS lon_src, lat AS lat_src, easting, northing",
+    )
+    inv = _staged(
+        fwd,
+        tm_inverse_stages(),
+        "pid, zone, lon_src, lat_src, lon, lat",
+    )
+    return _staged(
+        inv,
+        lcc_forward_stages(),
+        "pid, zone, CAST(FLOOR(lx) AS BIGINT) AS x_m, "
+        "CAST(FLOOR(ly) AS BIGINT) AS y_m, "
+        "(ABS(lon - lon_src) < 0.0000001 AND "
+        "ABS(lat - lat_src) < 0.0000001) AS rt_ok",
+    )
 
 
 def aea_roundtrip_sql(layer_sql: str) -> str:

@@ -143,8 +143,77 @@ def test_reproject_dataframe_api(spark):
         assert abs(orig.x - rec.x) < 1e-8
         assert abs(orig.y - rec.y) < 1e-8
     with pytest.raises(ValueError):
-        rp.reproject(df, 32756, 32757)
+        rp.reproject(df, 32756, 9999)  # unknown code still refuses
     assert rp.reproject(df, 4326, 4326) is df
+
+
+def test_reproject_composes_through_wgs84(spark):
+    """A pair with no 4326 side composes inverse-then-forward: cross-zone
+    UTM->UTM and cross-family UTM->LCC both round-trip to the source."""
+    # lon -96.5..-95.55 sits 2.5-3.5 deg from BOTH zone 14's and zone
+    # 15's central meridians (-99 / -93) — inside the series' accuracy
+    # band for the cross-zone leg.
+    df = spark.sql(
+        "SELECT id AS pid, CAST(-96.5 + id * 0.05 AS DOUBLE) AS x, "
+        "CAST(35.0 + id * 0.05 AS DOUBLE) AS y FROM RANGE(20)"
+    )
+    utm = rp.reproject(df, 4326, 32614, x="x", y="y")  # zone 14 north
+    # cross-family: UTM -> LCC equals the direct 4326 -> LCC projection
+    via = rp.reproject(utm, 32614, 102004).orderBy("pid").collect()
+    direct = rp.reproject(df, 4326, 102004).orderBy("pid").collect()
+    for a, b in zip(via, direct):
+        assert abs(a.x - b.x) < 1e-3 and abs(a.y - b.y) < 1e-3  # ~mm
+    # cross-zone: UTM 14 -> UTM 15 -> back to geographic recovers source
+    z15 = rp.reproject(utm, 32614, 32615)
+    back = rp.reproject(z15, 32615, 4326).orderBy("pid").collect()
+    for orig, rec in zip(df.orderBy("pid").collect(), back):
+        # two series round-trips at ~3.5 deg from the CM: ~1e-7-deg error
+        assert abs(orig.x - rec.x) < 1e-6 and abs(orig.y - rec.y) < 1e-6
+
+
+def test_lcc_conformal_jacobian():
+    """The LCC forward map must be CONFORMAL: the numeric Jacobian at
+    sample points is a scaled rotation (J11 == J22, J12 == -J21) to 1e-4
+    relative — angles preserved everywhere on the cone."""
+    import math
+
+    from opengxt_spark import reproject as rp
+
+    def fwd(lon, lat):
+        t = math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)
+        rho = rp.R_LCC * rp._LCC_F / (t ** rp._LCC_N)
+        th = rp._LCC_N * math.radians(lon - rp.LCC_LON0)
+        return rho * math.sin(th), rp._LCC_RHO0 - rho * math.cos(th)
+
+    d = 1e-6
+    for lat in (-30.0, 0.0, 33.0, 39.0, 45.0, 70.0):
+        for lon in (-170.0, -96.0, 0.0, 150.0):
+            x0, y0 = fwd(lon, lat)
+            # d/dlon and d/dlat columns, lat column scaled by cos(phi)
+            # (conformality is w.r.t. the metric, not raw degrees)
+            xl = (fwd(lon + d, lat)[0] - x0) / d
+            yl = (fwd(lon + d, lat)[1] - y0) / d
+            xp = (fwd(lon, lat + d)[0] - x0) / d * math.cos(math.radians(lat))
+            yp = (fwd(lon, lat + d)[1] - y0) / d * math.cos(math.radians(lat))
+            scale = math.hypot(xl, yl)
+            assert abs(xl - yp) / scale < 1e-4, (lat, lon)
+            assert abs(yl + xp) / scale < 1e-4, (lat, lon)
+
+
+def test_lcc_roundtrip_margin(spark, sf_dir):
+    """LCC round-trip error under the 1e-9-deg gate threshold and the
+    cross-family utm->lcc gate all-true at test scale."""
+    from opengxt_spark import reproject as rp, world
+
+    world.register_tables(spark, sf_dir)
+    rows = spark.sql(
+        rp.lcc_roundtrip_sql(world.LAYER_SQL["points_part"])
+    ).collect()
+    assert rows and all(r["rt_ok"] for r in rows)
+    rows2 = spark.sql(
+        rp.utm_to_lcc_sql(world.LAYER_SQL["points_part"])
+    ).collect()
+    assert rows2 and all(r["rt_ok"] for r in rows2)
 
 
 def test_albers_equal_area_jacobian():
