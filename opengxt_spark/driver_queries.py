@@ -2044,6 +2044,15 @@ def q_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.focal_hillshade(spark)
 
 
+@_register("raster_resample_bicubic", raster.raster_resample_bicubic_oracle())
+def q_raster_resample_bicubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys bicubic (a=-0.5) 2x downsample of the 500x500 value raster:
+    16 taps with exact x16384 integer weights (u in {1/4, 3/4} on the 2x
+    lattice), inner-lattice outputs only — closes ResampleType.BICUBIC
+    (GT/enumeration/ResampleType.java:26-43)."""
+    return raster.raster_resample_bicubic(spark)
+
+
 @_register("raster_resample_bilinear", raster.raster_resample_oracle())
 def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RasterResampleProcess (BILINEAR): 2x downsample, exact /16 weights."""

@@ -959,6 +959,112 @@ GROUP BY c.ox, c.oy
 """
 
 
+# Bicubic resample (RasterResampleOperation.java:42, ResampleType.BICUBIC,
+# GT/enumeration/ResampleType.java:26-43): Keys cubic-convolution kernel
+# with a = -0.5 (the public standard). The 2x lattice samples every output
+# center at fractional offsets u in {1/4, 3/4}, where the four Keys taps
+# have EXACT rational weights with denominator 128:
+#   u=1/4 -> (-9, 111, 29, -3)/128      u=3/4 -> the mirror
+# so the 16-tap 2D sum scaled by 128^2 = 16384 is exact BIGINT arithmetic
+# — fully hash-gated, same trick as the x16 bilinear above. Output lattice
+# restricted to centers whose full 4x4 tap window exists (inner-lattice
+# contract; edge policy is a parameter at production scale).
+_BICUBIC_W = {1: (-9, 111, 29, -3), 3: (-3, 29, 111, -9)}
+
+
+def _bicubic_w_sql(cvar: str, uvar: str) -> str:
+    lo = " ".join(
+        f"WHEN {cvar} = {i} THEN {w}" for i, w in enumerate(_BICUBIC_W[1])
+    )
+    hi = " ".join(
+        f"WHEN {cvar} = {i} THEN {w}" for i, w in enumerate(_BICUBIC_W[3])
+    )
+    return (
+        f"(CASE WHEN {uvar} = 1 THEN (CASE {lo} END) "
+        f"ELSE (CASE {hi} END) END)"
+    )
+
+
+def raster_resample_bicubic(spark: SparkSession) -> DataFrame:
+    """Resample the 500x500 value raster to 250x250 via Keys bicubic
+    (a=-0.5). Output (ox, oy, v16384) with v16384 = 16384 * interpolated
+    value (exact int); only outputs with a full 4x4 tap window emit."""
+    out = planner.ensure_parallelism(
+        spark.range(250 * 250).selectExpr(
+            "id AS oid",
+            "CAST(id % 250 AS BIGINT) AS ox",
+            "CAST(FLOOR(id / 250) AS BIGINT) AS oy",
+        )
+    )
+    out = out.selectExpr(
+        "oid", "ox", "oy",
+        "CAST(FLOOR((ox * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS ix0",
+        "CAST(FLOOR((oy * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS iy0",
+    ).selectExpr(
+        "oid", "ox", "oy", "ix0", "iy0",
+        "CAST(4.0 * ((ox * 4 + 1.5 - (ix0 * 2 + 1)) / 2.0) AS BIGINT) AS ux4",
+        "CAST(4.0 * ((oy * 4 + 1.5 - (iy0 * 2 + 1)) / 2.0) AS BIGINT) AS uy4",
+    )
+    taps = out.withColumn(
+        "cx", F.expr("explode(sequence(0, 3))")
+    ).withColumn("cy", F.expr("explode(sequence(0, 3))"))
+    taps = taps.selectExpr(
+        "oid", "ox", "oy",
+        "ix0 - 1 + cx AS ix", "iy0 - 1 + cy AS iy",
+        f"{_bicubic_w_sql('cx', 'ux4')} * {_bicubic_w_sql('cy', 'uy4')} "
+        "AS w16384",
+    )
+    pixels = spark.sql(ZONAL_PIXELS_SQL_SPARK).select("ix", "iy", "v")
+    return (
+        taps.join(pixels, on=["ix", "iy"], how="inner")
+        .groupBy("ox", "oy")
+        .agg(
+            F.sum(F.expr("w16384 * v")).cast("long").alias("v16384"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        .where("_nt = 16")
+        .drop("_nt")
+    )
+
+
+def raster_resample_bicubic_oracle() -> str:
+    wx = _bicubic_w_sql("gcx.generate_series", "ux4")
+    wy = _bicubic_w_sql("gcy.generate_series", "uy4")
+    return f"""
+WITH pix AS ({ZONAL_PIXELS_SQL_DUCK}),
+outg AS (
+  SELECT uid AS oid, CAST(uid % 250 AS BIGINT) AS ox,
+         CAST(FLOOR(uid / 250) AS BIGINT) AS oy
+  FROM (SELECT generate_series AS uid FROM generate_series(0, 62499))
+),
+base AS (
+  SELECT oid, ox, oy,
+         CAST(FLOOR((ox * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS ix0,
+         CAST(FLOOR((oy * 4 + 1.5 - 1.0) / 2.0) AS BIGINT) AS iy0
+  FROM outg
+),
+wts AS (
+  SELECT oid, ox, oy, ix0, iy0,
+         CAST(4.0 * ((ox * 4 + 1.5 - (ix0 * 2 + 1)) / 2.0) AS BIGINT) AS ux4,
+         CAST(4.0 * ((oy * 4 + 1.5 - (iy0 * 2 + 1)) / 2.0) AS BIGINT) AS uy4
+  FROM base
+),
+taps AS (
+  SELECT oid, ox, oy, ix0 - 1 + gcx.generate_series AS ix,
+         iy0 - 1 + gcy.generate_series AS iy,
+         {wx} * {wy} AS w16384
+  FROM wts, generate_series(0, 3) gcx, generate_series(0, 3) gcy
+)
+SELECT ox, oy, v16384 FROM (
+  SELECT t.ox AS ox, t.oy AS oy,
+         CAST(SUM(t.w16384 * p.v) AS BIGINT) AS v16384,
+         COUNT(*) AS nt
+  FROM taps t JOIN pix p ON t.ix = p.ix AND t.iy = p.iy
+  GROUP BY t.ox, t.oy
+) WHERE nt = 16
+"""
+
+
 # Cut-fill (AbstractRasterCutFillOperation.java:51): volume difference
 # between two surfaces; second surface synthesized from the pixel id.
 _SURF2 = "((ix * 104729 + iy * 7919) % 1000)"

@@ -166,3 +166,64 @@ def test_phash_neardup_finds_planted_pairs(spark, sf_dir):
     # non-planted pairs would need an accidental <=3-bit collision of two
     # independent 63-bit scrambles -- astronomically unlikely
     assert set(got) == expected
+
+
+def test_bicubic_weights_are_keys_kernel():
+    """The x128 integer weight table IS the Keys a=-0.5 kernel at
+    u in {1/4, 3/4}: matches the closed-form kernel, sums to 128
+    (partition of unity), and reproduces quadratics exactly — the
+    third-order-accuracy property that defines cubic convolution."""
+    from opengxt_spark import raster as R
+
+    a = -0.5
+
+    def keys(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    for u4, ws in R._BICUBIC_W.items():
+        u = u4 / 4.0
+        assert sum(ws) == 128
+        for i, w in enumerate(ws):
+            # taps at offsets (-1, 0, 1, 2) from the base pixel
+            assert w == round(128 * keys(u - (i - 1)))
+        # quadratic reproduction: sum w * f(tap) == 128 * f(u)
+        for c0, c1, c2 in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (2, -3, 5)):
+            f = lambda x: c0 + c1 * x + c2 * x * x
+            got = sum(w * f(i - 1) for i, w in enumerate(ws))
+            assert got == round(128 * f(u))
+
+
+def test_bicubic_resample_inner_lattice(spark):
+    """Spark bicubic output: 248x248 inner lattice (full 4x4 windows
+    only), and every value equals the numpy 16-tap sum on a sampled row."""
+    import numpy as np
+
+    from opengxt_spark import raster as R
+
+    out = R.raster_resample_bicubic(spark)
+    pdf = out.toPandas()
+    assert len(pdf) == 248 * 248
+    assert pdf.ox.min() == 1 and pdf.ox.max() == 248
+    # independent numpy replay for one output row band
+    pix = spark.sql(R.ZONAL_PIXELS_SQL_SPARK).toPandas()
+    v = np.zeros((500, 500), dtype=np.int64)
+    v[pix.ix.to_numpy(), pix.iy.to_numpy()] = pix.v.to_numpy()
+    sub = pdf[pdf.oy == 100].sort_values("ox")
+    for _, row in sub.iloc[:40].iterrows():
+        ox, oy = int(row.ox), int(row.oy)
+        acc = 0
+        ix0 = int(np.floor((ox * 4 + 1.5 - 1.0) / 2.0))
+        iy0 = int(np.floor((oy * 4 + 1.5 - 1.0) / 2.0))
+        ux4 = int(4.0 * ((ox * 4 + 1.5 - (ix0 * 2 + 1)) / 2.0))
+        uy4 = int(4.0 * ((oy * 4 + 1.5 - (iy0 * 2 + 1)) / 2.0))
+        wx = R._BICUBIC_W[ux4]
+        wy = R._BICUBIC_W[uy4]
+        for cx in range(4):
+            for cy in range(4):
+                acc += wx[cx] * wy[cy] * v[ix0 - 1 + cx, iy0 - 1 + cy]
+        assert acc == int(row.v16384), (ox, oy)
