@@ -322,3 +322,36 @@ def test_pq_packed_roundtrips_codes(spark, sf_dir):
     for vid, p in packed.items():
         assert 0 <= p < 2 ** 32
         assert [(p // 16 ** j) % 16 for j in range(ann.PQ_M)] == codes[vid]
+
+
+def test_min_label_components_chain_log_rounds(spark):
+    """Adversarial chain graph 0~1~2~...~n: pointer jumping must converge
+    in O(log n) rounds (plain min-label propagation needs n rounds), and
+    every node must label to the component min."""
+    import math
+
+    from opengxt_spark import textops
+
+    n = 300
+    nodes = spark.range(n).selectExpr("id AS did")
+    fwd = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    edges = fwd.unionAll(fwd.selectExpr("dst AS src", "src AS dst"))
+    lbl, rounds = textops._min_label_components(spark, edges, nodes, 40)
+    rows = lbl.collect()
+    assert all(r["lbl"] == 0 for r in rows) and len(rows) == n
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+
+    # two disjoint chains keep distinct component minima
+    e2 = spark.sql(
+        "SELECT id AS src, id + 1 AS dst FROM RANGE(0, 9) "
+        "UNION ALL SELECT id, id + 1 FROM RANGE(20, 29)"
+    )
+    e2 = e2.unionAll(e2.selectExpr("dst AS src", "src AS dst"))
+    n2 = spark.sql(
+        "SELECT id AS did FROM RANGE(0, 10) "
+        "UNION ALL SELECT id FROM RANGE(20, 30)"
+    )
+    lbl2, _ = textops._min_label_components(spark, e2, n2, 40)
+    got = {r["did"]: r["lbl"] for r in lbl2.collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 20 for i in range(20, 30))
