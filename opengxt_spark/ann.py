@@ -796,6 +796,53 @@ def pq_adc_topk_oracle(
     return _pq_adc_sql(cstride, k, query_mod, "duck")
 
 
+def _ivf_probe_sql(query_mod: int, probes: int, engine: str) -> str:
+    """Shared query-probing CTE block (qcand -> qprobes): the ``probes``
+    best lists per query from the coarse shortlist, exact-scan fallback
+    for queries whose shortlist is shorter than ``probes``. Requires the
+    _ivf_assign_sql CTEs (acand, cbuck) in scope; text is byte-identical
+    to the block _ivfpq_topk_sql carried inline before extraction."""
+    if engine == "spark":
+        fdot = _dot_spark("u.embedding", "c.cemb")
+        fne = _dot_spark("u.embedding", "u.embedding")
+        nc = _dot_spark("c.cemb", "c.cemb")
+    else:
+        fdot = _dot_duck("u.embedding", "c.cemb")
+        fne = _dot_duck("u.embedding", "u.embedding")
+        nc = _dot_duck("c.cemb", "c.cemb")
+    return f"""qcand AS (
+  SELECT vec_id AS qid, cid, cosc FROM acand
+  WHERE vec_id % {query_mod} = 0
+),
+qlong AS (
+  SELECT qid FROM qcand GROUP BY qid HAVING COUNT(*) >= {probes}
+),
+qbest AS (
+  SELECT qid, cid FROM (
+    SELECT qc.qid, qc.cid,
+           ROW_NUMBER() OVER (PARTITION BY qc.qid
+                              ORDER BY qc.cosc DESC, qc.cid ASC) AS rn
+    FROM qcand qc JOIN qlong ql ON ql.qid = qc.qid
+  ) __qb WHERE rn <= {probes}
+),
+qfall AS (
+  SELECT qid, cid FROM (
+    SELECT u.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {fdot} / (SQRT({fne}) * SQRT({nc})) DESC,
+                                       c.cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+          WHERE e.vec_id % {query_mod} = 0
+            AND NOT EXISTS (SELECT 1 FROM qlong s
+                            WHERE s.qid = e.vec_id)) u
+    CROSS JOIN cbuck c
+  ) __qf WHERE rn <= {probes}
+),
+qprobes AS (
+  SELECT * FROM qbest UNION ALL SELECT * FROM qfall
+)"""
+
+
 def _ivfpq_topk_sql(
     stride: int, m: int, cstride: int, k: int, query_mod: int, probes: int,
     engine: str,
@@ -827,37 +874,7 @@ def _ivfpq_topk_sql(
     return f"""
 WITH {_ivf_assign_sql(stride, m, engine)},
 {_pq_enc_sql(cstride, engine).lstrip()},
-qcand AS (
-  SELECT vec_id AS qid, cid, cosc FROM acand
-  WHERE vec_id % {query_mod} = 0
-),
-qlong AS (
-  SELECT qid FROM qcand GROUP BY qid HAVING COUNT(*) >= {probes}
-),
-qbest AS (
-  SELECT qid, cid FROM (
-    SELECT qc.qid, qc.cid,
-           ROW_NUMBER() OVER (PARTITION BY qc.qid
-                              ORDER BY qc.cosc DESC, qc.cid ASC) AS rn
-    FROM qcand qc JOIN qlong ql ON ql.qid = qc.qid
-  ) __qb WHERE rn <= {probes}
-),
-qfall AS (
-  SELECT qid, cid FROM (
-    SELECT u.vec_id AS qid, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY u.vec_id
-                              ORDER BY {fdot} / (SQRT({fne}) * SQRT({nc})) DESC,
-                                       c.cid ASC) AS rn
-    FROM (SELECT e.vec_id, e.embedding FROM embeddings e
-          WHERE e.vec_id % {query_mod} = 0
-            AND NOT EXISTS (SELECT 1 FROM qlong s
-                            WHERE s.qid = e.vec_id)) u
-    CROSS JOIN cbuck c
-  ) __qf WHERE rn <= {probes}
-),
-qprobes AS (
-  SELECT * FROM qbest UNION ALL SELECT * FROM qfall
-),
+{_ivf_probe_sql(query_mod, probes, engine)},
 cand AS (
   SELECT p.qid, a.vec_id AS nid,
          {adist} AS adist
@@ -908,6 +925,162 @@ def ann_topk_ivfpq_oracle(
     """DuckDB mirror of ``ann_topk_ivfpq`` — stride/m/cstride pinned to the
     gate values on BOTH sides (sf-independent agreement)."""
     return _ivfpq_topk_sql(stride, m, cstride, k, query_mod, probes, "duck")
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 §IV): PQ codes are built on RESIDUALS
+# r = v - centroid(list(v)) instead of raw vectors. Subtracting the list
+# centroid centers every list's vectors into one common distribution, so
+# the single global codebook spends its 16 codewords per subspace on
+# within-list variation rather than between-list offsets — where most of
+# the recall at fixed code size comes from. The codebook itself is
+# data-sampled in residual space (same deterministic id-stride rule as
+# the raw-PQ codebook, so both engines agree bit-for-bit); queries ADC
+# against their own residual w.r.t. each PROBED list's centroid.
+# ---------------------------------------------------------------------------
+
+
+def _residual_arr(engine: str, v: str, c: str) -> str:
+    """Element-wise DOUBLE array ``v - c`` (1-based, DIM elements)."""
+    if engine == "spark":
+        return (
+            f"transform(sequence(1, {DIM}), i -> "
+            f"CAST(element_at({v}, i) AS DOUBLE) "
+            f"- CAST(element_at({c}, i) AS DOUBLE))"
+        )
+    return (
+        f"[CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE) "
+        f"for i in range(1, {DIM + 1})]"
+    )
+
+
+def _pq_res_enc_sql(cstride: int, engine: str) -> str:
+    """CTE chain rcw (residual codebook) + renc (residual codes). Requires
+    the _ivf_assign_sql CTEs (assign, cbuck) in scope."""
+    sub = _subdist_spark if engine == "spark" else _subdist_duck
+    res_cw = _residual_arr(engine, "e.embedding", "c.cemb")
+    res_v = _residual_arr(engine, "e.embedding", "c.cemb")
+    dcols = ",\n         ".join(
+        f"{sub(j, 'v.res', 'w.cw_emb')} AS d{j}" for j in range(PQ_M)
+    )
+    rcols = ",\n         ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{j} ASC, code ASC)"
+        f" AS r{j}"
+        for j in range(PQ_M)
+    )
+    ccols = ",\n         ".join(
+        f"MIN(CASE WHEN r{j} = 1 THEN code END) AS c{j}" for j in range(PQ_M)
+    )
+    return f"""rcw AS (
+  SELECT CAST(FLOOR(CAST(a.vec_id AS DOUBLE) / {cstride}) AS INT) AS code,
+         {res_cw} AS cw_emb
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN cbuck c ON c.cid = a.cid
+  WHERE a.vec_id % {cstride} = 2
+    AND CAST(FLOOR(CAST(a.vec_id AS DOUBLE) / {cstride}) AS INT) < {PQ_K}
+),
+vres AS (
+  SELECT a.vec_id, a.cid, {res_v} AS res
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN cbuck c ON c.cid = a.cid
+),
+recand AS (
+  SELECT v.vec_id, w.code,
+         {dcols}
+  FROM vres v CROSS JOIN rcw w
+),
+rerank AS (
+  SELECT vec_id, code,
+         {rcols}
+  FROM recand
+),
+renc AS (
+  SELECT vec_id,
+         {ccols}
+  FROM rerank GROUP BY vec_id
+)"""
+
+
+def _ivfpq_res_topk_sql(
+    stride: int, m: int, cstride: int, k: int, query_mod: int, probes: int,
+    engine: str,
+) -> str:
+    """Residual IVF-PQ top-k: IVF probing as in _ivfpq_topk_sql, but ADC
+    runs in residual space — the query's residual w.r.t. each probed
+    list's centroid against the candidates' residual codewords."""
+    sub = _subdist_spark if engine == "spark" else _subdist_duck
+    qres = _residual_arr(engine, "q.embedding", "c.cemb")
+    joins_ = "\n  ".join(
+        f"JOIN rcw w{j} ON w{j}.code = e.c{j}" for j in range(PQ_M)
+    )
+    adist = " + ".join(
+        sub(j, "r.res", f"w{j}.cw_emb") for j in range(PQ_M)
+    )
+    cast_q = "CAST(qid AS BIGINT)" if engine == "duck" else "qid"
+    cast_n = "CAST(nid AS BIGINT)" if engine == "duck" else "nid"
+    return f"""
+WITH {_ivf_assign_sql(stride, m, engine)},
+{_pq_res_enc_sql(cstride, engine)},
+{_ivf_probe_sql(query_mod, probes, engine)},
+qres AS (
+  SELECT p.qid, p.cid, {qres} AS res
+  FROM qprobes p
+  JOIN embeddings q ON q.vec_id = p.qid
+  JOIN cbuck c ON c.cid = p.cid
+),
+cand AS (
+  SELECT r.qid, a.vec_id AS nid,
+         {adist} AS adist
+  FROM qres r
+  JOIN assign a ON a.cid = r.cid AND a.vec_id <> r.qid
+  JOIN renc e ON e.vec_id = a.vec_id
+  {joins_}
+)
+SELECT {cast_q} AS qid, {cast_n} AS nid, ROUND(adist, 9) AS adist,
+       CAST(rnk AS INT) AS rnk FROM (
+  SELECT qid, nid, adist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rnk
+  FROM cand
+) __r WHERE rnk <= {k}
+"""
+
+
+def ann_topk_ivfpq_residual(
+    spark: SparkSession,
+    k: int = 5,
+    query_mod: int = 25,
+    stride: int | None = None,
+    probes: int = 2,
+    m: int | None = None,
+    cstride: int | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ approximate top-k (Jegou IVFADC): coarse IVF
+    probing + ADC over residual-space PQ codes. Output
+    (qid, nid, adist, rnk); recall >= the non-residual path's at the same
+    stride (pytest-pinned)."""
+    from . import planner
+
+    n = planner.cached_count(spark.table("embeddings"))
+    if stride is None:
+        stride = ivf_stride_for(n)
+    if m is None:
+        m = _ivf_m_for(spark, stride)
+    if cstride is None:
+        cstride = pq_cstride_for(n)
+    return spark.sql(
+        _ivfpq_res_topk_sql(stride, m, cstride, k, query_mod, probes, "spark")
+    )
+
+
+def ann_topk_ivfpq_residual_oracle(
+    k: int = 5, query_mod: int = 25, stride: int = 10, probes: int = 2,
+    m: int = 4, cstride: int = PQ_CSTRIDE_GATE,
+) -> str:
+    """DuckDB mirror — gate-pinned stride/m/cstride on BOTH sides."""
+    return _ivfpq_res_topk_sql(stride, m, cstride, k, query_mod, probes, "duck")
 
 
 def _pq_packed_sql(cstride: int, engine: str) -> str:

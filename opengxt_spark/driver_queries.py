@@ -2836,6 +2836,24 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_topk_ivfpq_residual",
+    ann.ann_topk_ivfpq_residual_oracle(
+        stride=20, m=4, cstride=ann.PQ_CSTRIDE_GATE
+    ),
+)
+def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (Jegou IVFADC): PQ codes built on r = v -
+    centroid(list) so the global codebook spends its codewords on
+    within-list variation; queries ADC their residual w.r.t. each probed
+    list's centroid. Recall >= the non-residual path at the same stride
+    (pytest); stride/m/cstride pinned to the oracle's values."""
+    world.register_tables(spark, sf_dir)
+    return ann.ann_topk_ivfpq_residual(
+        spark, stride=20, m=4, cstride=ann.PQ_CSTRIDE_GATE
+    )
+
+
 from . import sessionize as _sessionize  # noqa: E402
 
 
