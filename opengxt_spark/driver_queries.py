@@ -654,6 +654,20 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["rasterize_tiles"] = q_rasterize_tiles
 
 
+@_register("rasterize_tiles_sums", raster.rasterize_tiles_sums_oracle())
+def q_rasterize_tiles_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated rasterize_tiles twin: per tile (npix, lum3) where lum3
+    recovers the exact INTEGER 3*sum_lum (luminance is s/3 with integer
+    s per generator pixel) — the closed-form oracle replays the burn
+    kernel's dyadic pixel-center mapping and mod-256 generator in SQL,
+    pinning the raster<->vector nearest-neighbor geometry bit-exactly."""
+    tiles = raster.rasterize_tiles(raster.images_table(spark, sf_dir))
+    return tiles.select(
+        "tx", "ty", F.col("npix").cast("long").alias("npix"),
+        F.expr("CAST(FLOOR(sum_lum * 3.0 + 0.5) AS BIGINT)").alias("lum3"),
+    )
+
+
 def q_rasterize_tiles_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rasterize tiles from the LOSSY (fmt='dct') image table — exercises
     the BASELINE "PSNR>=40dB for lossy formats" invariant end-to-end: the
@@ -973,6 +987,34 @@ def q_wds_roundtrip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_images"),
         F.sum(F.expr("CAST(w AS BIGINT) * h * 3")).alias("payload_bytes"),
         F.sum(F.expr(_WDS_CAPSUM)).cast("long").alias("capsum"),
+    )
+
+
+_WDS_LOOKUP_ORACLE = """
+SELECT CONCAT('img_', CAST(o_orderkey AS VARCHAR(32))) AS image_id,
+       CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(16 + (o_orderkey % 4) * 8 AS INT) AS w,
+       CAST(16 + (o_orderkey % 3) * 8 AS INT) AS h,
+       'rgb8' AS fmt,
+       CONCAT('cap ', o_orderpriority, ' ',
+              CAST(o_orderkey AS VARCHAR(32))) AS caption
+FROM orders WHERE o_orderkey BETWEEN 1 AND 40
+"""
+
+
+@_register("wds_lookup_pruned", _WDS_LOOKUP_ORACLE)
+def q_wds_lookup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range lookup through the WDS MANIFEST zone map: the reader
+    prunes shards by [okey_min, okey_max] BEFORE the binaryFile scan
+    (range-partitioned export -> disjoint shard ranges -> a point lookup
+    opens one tar of N), then row-filters to the exact range; the oracle
+    regenerates the metadata from orders. Pruning-efficacy (only 1 shard
+    read for a point key) is pytest-pinned in tests/test_wds.py."""
+    from . import wds
+
+    path = wds.wds_fixture(spark, sf_dir)
+    return wds.read_wds_shards(spark, path, okey_range=(1, 40)).select(
+        "image_id", "okey", "w", "h", "fmt", "caption"
     )
 
 
@@ -3309,9 +3351,24 @@ def q_raster_local_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_delaunay_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DelaunayTriangulationProcess per category (Bowyer-Watson grouped
     kernel; rows-only gate — triangulation area == hull area and Euler
-    count verified in pytest)."""
+    count verified in pytest; the hash-gated topology twin is
+    delaunay_euler below)."""
     return transforms_geom.delaunay_groups(world.points_part(spark, sf_dir)
                                            .withColumn("cat", F.expr("CAST(pid % 5 AS STRING)")))
+
+
+@_register("delaunay_euler", transforms_geom.delaunay_euler_oracle())
+def q_delaunay_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated Delaunay topology twin: per category (n_points,
+    n_triangles) from the Bowyer-Watson kernel, matched bit-exactly
+    against 2n - 2 - h where h comes from an INDEPENDENT engine-shared
+    SQL convex hull (angular-gap test, exact integer cross/dot) — Euler's
+    relation pins the triangulation's topology, not just row counts."""
+    d = transforms_geom.delaunay_groups(
+        world.points_part(spark, sf_dir)
+        .withColumn("cat", F.expr("CAST(pid % 5 AS STRING)"))
+    )
+    return d.select("cat", "n_points", "n_triangles")
 
 
 @_register("concave_hull_groups")
@@ -3410,6 +3467,39 @@ def q_thiessen_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         world.points_part(spark, sf_dir)
         .where("pid % 10 = 0")
         .withColumn("cat", F.expr("CAST(pid % 3 AS STRING)"))
+    )
+
+
+_THIESSEN_CONS_ORACLE = (
+    world.oracle_cte("points_part")
+    + """
+SELECT CAST(pid % 3 AS VARCHAR(8)) AS cat, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       TRUE AS area_ok, TRUE AS verts_ok
+FROM points_part WHERE pid % 10 = 0 GROUP BY 1
+"""
+)
+
+
+@_register("thiessen_conservation", _THIESSEN_CONS_ORACLE)
+def q_thiessen_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated Thiessen twin: per category, exact cell count plus the
+    two conservation invariants folded to booleans with 100x margin —
+    the cells TILE the expanded bbox (sum(cell_area) == bbox_area within
+    1e-3; per-cell rounding error is <= 1e-5) and every cell is a real
+    polygon (>= 3 vertices). A dropped/duplicated/misclipped cell breaks
+    count or area; the oracle is the closed form (count = sites, TRUE,
+    TRUE)."""
+    t = transforms_geom.thiessen_groups(
+        world.points_part(spark, sf_dir)
+        .where("pid % 10 = 0")
+        .withColumn("cat", F.expr("CAST(pid % 3 AS STRING)"))
+    )
+    return t.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.abs(F.sum("cell_area") - F.min("bbox_area")) < 1e-3).alias(
+            "area_ok"
+        ),
+        (F.min("n_verts") >= 3).alias("verts_ok"),
     )
 
 

@@ -323,6 +323,65 @@ def rasterize_tiles(images: DataFrame, tile_size: float = TILE_SIZE) -> DataFram
     return covered.groupBy("tx", "ty").applyInPandas(burn, schema=_TILE_SCHEMA)
 
 
+def rasterize_tiles_sums_oracle() -> str:
+    """Closed-form oracle for the rasterize_tiles twin: every quantity in
+    the burn kernel is deterministic — tile-pixel centers are exact dyadic
+    doubles (0.25 + 0.5*m reproduces the kernel's j*res + ox + res/2
+    bit-for-bit), the nearest-neighbor image-pixel lookup is the same
+    FLOOR expression, and the generator luminance sum per pixel is
+    integer ((okey*31 + 21p + 7c) mod 256 summed over c). lum3 = 3 *
+    sum_lum recovered as an exact BIGINT (float accumulation error
+    ~1e-8 << 0.5). Empty covered tiles mirror the kernel's cover-explode
+    row set via a LEFT JOIN."""
+    ts, fs = dlit(TILE_SIZE), dlit(FOOT_SCALE)
+    res, half = dlit(0.5), dlit(0.25)
+    return f"""
+WITH img AS ({IMAGES_META_SQL_DUCK}),
+gs AS (SELECT generate_series AS g FROM generate_series(0, 2200)),
+gt AS (SELECT generate_series AS g FROM generate_series(0, 25)),
+mj AS (
+  SELECT i.okey, i.w, i.h, i.fx, i.fy, s.g AS m
+  FROM img i JOIN gs s
+    ON s.g >= CAST(FLOOR(i.fx / {res}) AS BIGINT) - 1
+   AND s.g <= CAST(FLOOR((i.fx + i.w * {fs}) / {res}) AS BIGINT) + 1
+),
+pxy AS (
+  SELECT j.okey, j.w, j.h, j.fx, j.fy, j.m, s.g AS n,
+         CAST(FLOOR(({half} + {res} * j.m - j.fx) / {fs}) AS BIGINT) AS jx,
+         CAST(FLOOR(({half} + {res} * s.g - j.fy) / {fs}) AS BIGINT) AS iy
+  FROM mj j JOIN gs s
+    ON s.g >= CAST(FLOOR(j.fy / {res}) AS BIGINT) - 1
+   AND s.g <= CAST(FLOOR((j.fy + j.h * {fs}) / {res}) AS BIGINT) + 1
+),
+hit AS (
+  SELECT m, n, ((okey * 31 + (iy * w + jx) * 21) % 256) AS b
+  FROM pxy WHERE jx >= 0 AND jx < w AND iy >= 0 AND iy < h
+),
+cell AS (
+  SELECT m, n,
+         CAST(SUM(b + (b + 7) % 256 + (b + 14) % 256) AS BIGINT) AS s3
+  FROM hit GROUP BY m, n
+),
+tiles AS (
+  SELECT DISTINCT gx.g AS tx, gy.g AS ty
+  FROM img i
+  JOIN gt gx ON gx.g >= CAST(FLOOR(i.fx / {ts}) AS BIGINT)
+            AND gx.g <= CAST(FLOOR((i.fx + i.w * {fs}) / {ts}) AS BIGINT)
+  JOIN gt gy ON gy.g >= CAST(FLOOR(i.fy / {ts}) AS BIGINT)
+            AND gy.g <= CAST(FLOOR((i.fy + i.h * {fs}) / {ts}) AS BIGINT)
+)
+SELECT t.tx AS tx, t.ty AS ty,
+       CAST(COALESCE(ca.npix, 0) AS BIGINT) AS npix,
+       CAST(COALESCE(ca.lum3, 0) AS BIGINT) AS lum3
+FROM tiles t LEFT JOIN (
+  SELECT CAST(FLOOR(CAST(m AS DOUBLE) / 100.0) AS BIGINT) AS tx,
+         CAST(FLOOR(CAST(n AS DOUBLE) / 100.0) AS BIGINT) AS ty,
+         COUNT(*) AS npix, SUM(s3) AS lum3
+  FROM cell GROUP BY 1, 2
+) ca ON ca.tx = t.tx AND ca.ty = t.ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # Zonal statistics: synthetic value raster x rectangle zones
 # ---------------------------------------------------------------------------

@@ -634,6 +634,72 @@ def delaunay_groups(points: DataFrame, group_col: str = "cat") -> DataFrame:
     )
 
 
+def hull_count_sql(src_sql: str) -> str:
+    """Engine-shared SQL: per-group convex-hull VERTEX COUNT over
+    (cat, pid, x, y) rows — an independent hull implementation used to
+    cross-check the Delaunay kernel via Euler's relation.
+
+    Per point p: sort its co-group points by direction angle around p;
+    p is a hull vertex iff some consecutive angular gap (incl. the wrap
+    from last back to first) is >= pi. The >= pi decision is EXACT
+    integer arithmetic on millicoordinate vectors — cross(v, next) < 0,
+    or = 0 with negative dot (antipodal) — ATAN2 only ORDERS directions
+    (sub-ulp engine differences can only reorder equal-direction ties,
+    whose zero gaps never flip the flag). O(n^2 log n) per group."""
+    from .overlay_diff import mm_sql
+
+    return f"""
+pts AS (
+  SELECT cat, pid, {mm_sql('x')} AS xm, {mm_sql('y')} AS ym FROM ({src_sql}) __src
+),
+vec AS (
+  SELECT a.cat AS cat, a.pid AS pid, b.pid AS qid,
+         (b.xm - a.xm) AS dx, (b.ym - a.ym) AS dy,
+         ATAN2(CAST(b.ym - a.ym AS DOUBLE), CAST(b.xm - a.xm AS DOUBLE)) AS ang
+  FROM pts a JOIN pts b ON a.cat = b.cat AND a.pid <> b.pid
+),
+ring AS (
+  SELECT cat, pid, dx, dy,
+         COALESCE(LEAD(dx) OVER w, FIRST_VALUE(dx) OVER w) AS ndx,
+         COALESCE(LEAD(dy) OVER w, FIRST_VALUE(dy) OVER w) AS ndy
+  FROM vec
+  WINDOW w AS (PARTITION BY cat, pid ORDER BY ang ASC, qid ASC)
+),
+hflag AS (
+  SELECT cat, pid,
+         MAX(CASE WHEN (ndx * dy - ndy * dx) > 0
+                    OR ((ndx * dy - ndy * dx) = 0
+                        AND (ndx * dx + ndy * dy) < 0)
+              THEN 1 ELSE 0 END) AS on_hull
+  FROM ring GROUP BY cat, pid
+),
+hullcnt AS (
+  SELECT cat, CAST(SUM(on_hull) AS BIGINT) AS h FROM hflag GROUP BY cat
+)"""
+
+
+DELAUNAY_CAT_SQL = (
+    "SELECT CAST(pid % 5 AS STRING) AS cat, pid, x, y FROM points_part"
+)
+
+
+def delaunay_euler_oracle() -> str:
+    """Closed-relation oracle for the Delaunay twin: n_triangles must be
+    2n - 2 - h with h from the INDEPENDENT SQL hull above (Euler's
+    relation for a triangulation of the convex hull) — bit-exact integer
+    topology check against the Bowyer-Watson kernel."""
+    return world.with_layers(
+        f"""
+WITH {hull_count_sql(DELAUNAY_CAT_SQL)}
+SELECT n.cat AS cat, n.n AS n_points,
+       CAST(2 * n.n - 2 - hc.h AS BIGINT) AS n_triangles
+FROM (SELECT cat, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cat) n
+JOIN hullcnt hc ON hc.cat = n.cat
+""",
+        "points_part",
+    )
+
+
 def concave_hull_groups(
     points: DataFrame, alpha: float, group_col: str = "cat"
 ) -> DataFrame:

@@ -42,9 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: target payload bytes per shard. Real pipelines use ~100MB-1GB; the
-#: default keeps gate-scale fixtures multi-shard so the multi-file reader
-#: path is always exercised.
+#: target payload bytes per shard. PRODUCTION DEFAULT: 256 MB - 1 GB
+#: (one shard per task, amortized tar headers, object-store-friendly
+#: object sizes — pass target_bytes=256 << 20 at the call site; the
+#: 256 MB ladder leg in BENCH.md confirms the late path stays the faster
+#: one at that grain). The 4 MB default here is deliberately GATE-SIZED:
+#: it keeps the sf fixtures multi-shard so the multi-file reader, the
+#: manifest zone map, and crash-resume are always exercised.
 TARGET_SHARD_BYTES = 4 << 20
 
 _MANIFEST_SCHEMA = T.StructType([
@@ -210,19 +214,59 @@ def write_wds_shards(
     return images.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
 
 
-def read_wds_shards(spark: SparkSession, in_dir: str) -> DataFrame:
+def prune_shards(
+    spark: SparkSession, in_dir: str, okey_lo: int, okey_hi: int
+) -> list[str]:
+    """Shard paths whose manifest [okey_min, okey_max] overlaps the key
+    range — the per-shard ledger doubles as a zone map. The export
+    range-partitions on okey, so shard ranges are disjoint and a point
+    lookup prunes to ONE shard regardless of shard count; the manifest
+    is one tiny parquet row per shard (a metadata-scale read even at
+    10^5 shards)."""
+    man = spark.read.parquet(os.path.join(in_dir, "_manifest"))
+    rows = (
+        man.where(
+            (F.col("okey_max") >= int(okey_lo))
+            & (F.col("okey_min") <= int(okey_hi))
+        )
+        .select("file")
+        .collect()
+    )
+    return sorted(os.path.join(in_dir, r["file"]) for r in rows)
+
+
+def read_wds_shards(
+    spark: SparkSession,
+    in_dir: str,
+    okey_range: tuple[int, int] | None = None,
+) -> DataFrame:
     """Read WebDataset tar shards back into the image-table shape.
 
     One `binaryFile` scan of the shard files, one Arrow-batched tar parse
     per shard — shuffle-free (the plan has zero exchanges, like the
     shapefile source). Column set matches `raster.images_table` minus the
     synthetic footprint columns.
+
+    ``okey_range=(lo, hi)``: prune the scan to the shards whose manifest
+    key range overlaps (zone-map pruning BEFORE the binaryFile scan — a
+    point lookup opens one tar, not the dataset), then filter rows to the
+    exact range after the parse.
     """
-    files = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(in_dir, "*.tar"))
-        .select("path", "content")
-    )
+    if okey_range is not None:
+        lo, hi = okey_range
+        paths = prune_shards(spark, in_dir, lo, hi)
+        if not paths:
+            return spark.createDataFrame([], _SAMPLE_SCHEMA)
+        files = (
+            spark.read.format("binaryFile").load(paths)
+            .select("path", "content")
+        )
+    else:
+        files = (
+            spark.read.format("binaryFile")
+            .load(os.path.join(in_dir, "*.tar"))
+            .select("path", "content")
+        )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,7 +299,13 @@ def read_wds_shards(spark: SparkSession, in_dir: str) -> DataFrame:
                         )
             yield pd.DataFrame(out)
 
-    return files.mapInPandas(parse, schema=_SAMPLE_SCHEMA)
+    out = files.mapInPandas(parse, schema=_SAMPLE_SCHEMA)
+    if okey_range is not None:
+        out = out.where(
+            (F.col("okey") >= int(okey_range[0]))
+            & (F.col("okey") <= int(okey_range[1]))
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

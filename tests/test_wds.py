@@ -206,3 +206,38 @@ def test_split_zone_balance_consistent(spark, sf_dir):
          zb.groupBy("rid").agg(F.sum("cnt").alias("total")).collect()}
     b = {r.rid: r.cnt for r in zones.collect()}
     assert a == b and a
+
+
+def test_manifest_shard_pruning_reads_one_shard(spark, sf_dir, tmp_path):
+    """Zone-map pruning: a point-okey lookup must select exactly ONE of
+    the N shards via the manifest (range-partitioned export -> disjoint
+    shard key ranges), and the pruned read must equal the full read
+    filtered to the same range."""
+    from opengxt_spark import raster, wds
+
+    out = str(tmp_path / "wds_prune")
+    man = wds.write_wds_shards(
+        raster.images_table(spark, sf_dir), out
+    ).collect()
+    assert len(man) >= 2, "fixture must be multi-shard"
+    # a key strictly inside one shard's range
+    mid = sorted(man, key=lambda r: r["okey_min"])[len(man) // 2]
+    key = (mid["okey_min"] + mid["okey_max"]) // 2
+    paths = wds.prune_shards(spark, out, key, key)
+    assert len(paths) == 1, (key, paths)
+    assert mid["file"] in paths[0]
+
+    lo, hi = mid["okey_min"], mid["okey_max"]
+    pruned = wds.read_wds_shards(spark, out, okey_range=(lo, hi))
+    full = wds.read_wds_shards(spark, out).where(
+        f"okey BETWEEN {lo} AND {hi}"
+    )
+    a = sorted((r["image_id"], r["okey"]) for r in pruned.collect())
+    b = sorted((r["image_id"], r["okey"]) for r in full.collect())
+    assert a == b and len(a) == mid["rows"]
+    # empty range prunes to zero shards and zero rows without a scan
+    top = max(r["okey_max"] for r in man)
+    assert wds.prune_shards(spark, out, top + 10, top + 20) == []
+    assert wds.read_wds_shards(
+        spark, out, okey_range=(top + 10, top + 20)
+    ).count() == 0

@@ -94,9 +94,13 @@ def child(job: str, cores: int, sf_dir: str) -> None:
 
             d = tempfile.mkdtemp(prefix="wds_scale_")
             late = job.endswith("_late")
+            # WDS_SHARD_BYTES: ladder the export at a different shard
+            # grain (e.g. 268435456 for the 256 MB production-default leg
+            # — fewer, task-sized shards, amortized tar headers).
+            tb = int(os.environ.get("WDS_SHARD_BYTES", str(16 << 20)))
             try:
                 wds.write_wds_shards(
-                    meta if late else imgs, d, target_bytes=16 << 20,
+                    meta if late else imgs, d, target_bytes=tb,
                     payload=raster.payload_rgb8 if late else None,
                 ).count()
             finally:
