@@ -190,10 +190,17 @@ def _hav_pairs(
 
 
 def haversine_neighbor_count(
-    left: DataFrame, right: DataFrame, radius_km: float
+    left: DataFrame, right: DataFrame, radius_km: float,
+    unit: str | None = None,
 ) -> DataFrame:
     """Geodesic NearestNeighborCount: per left point, how many right points
-    lie within ``radius_km`` great-circle km. Output (pid_l, cnt)."""
+    lie within ``radius_km`` great-circle km. Output (pid_l, cnt).
+    ``unit``: DistanceUnit of the radius (DistanceUnit.java:26-58);
+    converted to km at plan time (None/Default = already km)."""
+    from . import units
+
+    if unit is not None:
+        radius_km = units.to_world(radius_km, unit) / 1000.0
     return (
         _hav_pairs(left, right, radius_km)
         .groupBy("pid_l")
@@ -202,13 +209,19 @@ def haversine_neighbor_count(
 
 
 def haversine_nearest_join(
-    left: DataFrame, right: DataFrame, radius_km: float
+    left: DataFrame, right: DataFrame, radius_km: float,
+    unit: str | None = None,
 ) -> DataFrame:
     """Geodesic nearest-feature join within a great-circle radius cap.
     Output (pid_l, pid_r, hav_km rounded 1e-6). Ties break on pid_r, as in
     the planar nearest_join. The min-reduction orders on the pre-asin h
     (monotone in distance), so the asin polynomial runs once per WINNER,
-    not per candidate."""
+    not per candidate. ``unit``: DistanceUnit of the radius, converted
+    to km at plan time (None/Default = already km)."""
+    from . import units
+
+    if unit is not None:
+        radius_km = units.to_world(radius_km, unit) / 1000.0
     pairs = _hav_pairs(left, right, radius_km)
     return (
         pairs.groupBy("pid_l")

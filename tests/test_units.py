@@ -150,3 +150,28 @@ def test_buffer_unit(spark):
     b = sorted((t["lid"], round(t["qx3"], 5), round(t["buf_area"], 5))
                for t in sf_)
     assert a == b
+
+
+def test_haversine_joins_unit(spark):
+    """Geodesic surfaces accept unit= too: a radius given in Miles equals
+    the same radius pre-converted to km."""
+    from opengxt_spark import geo
+
+    l = spark.range(80).selectExpr(
+        "id AS pid",
+        "CAST((id * 37) % 80 - 40 AS DOUBLE) / 2.0 AS lon",
+        "CAST((id * 61) % 60 - 30 AS DOUBLE) / 2.0 AS lat",
+    )
+    r = spark.range(60).selectExpr(
+        "id AS pid",
+        "CAST((id * 53) % 80 - 40 AS DOUBLE) / 2.0 AS lon",
+        "CAST((id * 29) % 60 - 30 AS DOUBLE) / 2.0 AS lat",
+    )
+    r_mi = 200.0
+    km = geo.haversine_nearest_join(l, r, r_mi * 1609.344 / 1000.0).collect()
+    mi = geo.haversine_nearest_join(l, r, r_mi, unit="Miles").collect()
+    assert sorted(map(tuple, km)) == sorted(map(tuple, mi))
+    assert len(km) > 0
+    km2 = geo.haversine_neighbor_count(l, r, r_mi * 1609.344 / 1000.0).collect()
+    mi2 = geo.haversine_neighbor_count(l, r, r_mi, unit="Miles").collect()
+    assert sorted(map(tuple, km2)) == sorted(map(tuple, mi2))
