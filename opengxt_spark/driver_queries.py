@@ -4018,11 +4018,79 @@ def q_raster_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_max_inscribed_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureToMaximumInscribedRectangleProcess per category (40x40
     raster sweep over the group hull; rows-only — containment/area
-    invariants in pytest)."""
+    invariants in pytest; hash-gated closed-form twin below)."""
     return transforms_geom.max_inscribed_rects(
         world.points_part(spark, sf_dir)
         .withColumn("cat", F.expr("CAST(pid % 6 AS STRING)"))
     )
+
+
+# On an AXIS-ALIGNED RECTANGULAR hull the 40x40 sweep's optimum is
+# closed-form: the full bbox inset by exactly one cell (w/40, h/40) on
+# the min edges (the reference's one-cell reconstruction inset,
+# MaximumInscribedRectangle.java:144-262) — same gating trick as
+# min_rotated_rect_rects. True values have <= 4 decimals, so ROUND(.., 6)
+# sits >= 5e-7 from any boundary while the float-path error is ~1e-13.
+_MIR_RECTS_ORACLE = (
+    world.oracle_cte("rects_customer")
+    + """
+SELECT CAST(rid AS VARCHAR(16)) AS cat,
+       ROUND((cx - hw) + ((cx + hw) - (cx - hw)) / 40.0, 6) AS minx,
+       ROUND((cy - hh) + ((cy + hh) - (cy - hh)) / 40.0, 6) AS miny,
+       ROUND(cx + hw, 6) AS maxx,
+       ROUND(cy + hh, 6) AS maxy,
+       ROUND(((cx + hw) - ((cx - hw) + ((cx + hw) - (cx - hw)) / 40.0))
+           * ((cy + hh) - ((cy - hh) + ((cy + hh) - (cy - hh)) / 40.0)), 6)
+         AS rect_area
+FROM rects_customer
+"""
+)
+
+
+# Alpha-shape twin: 4 rect corners + one OFF-CENTER interior point (the
+# offset breaks the fan symmetry; the corners' mutual cocircularity is
+# tie-safe — either in-circle resolution yields 4 triangles, 4 boundary
+# edges, and the full rect area). With alpha far above every circumradius
+# the alpha shape IS the convex hull: closed form per rid.
+_CONCAVE_RECTS_ORACLE = (
+    world.oracle_cte("rects_customer")
+    + """
+SELECT CAST(rid AS VARCHAR(16)) AS cat,
+       ROUND(4.0 * hw * hh, 6) AS hull_area,
+       CAST(4 AS BIGINT) AS n_kept_tris,
+       CAST(4 AS BIGINT) AS n_boundary_edges
+FROM rects_customer
+"""
+)
+
+
+@_register("concave_hull_rects", _CONCAVE_RECTS_ORACLE)
+def q_concave_hull_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated alpha-shape twin: each customer rect's 4 corners + an
+    off-center interior point triangulate to exactly 4 triangles; with
+    alpha >> every circumradius the alpha shape is the hull — area
+    4*hw*hh, 4 kept triangles, 4 boundary edges, closed form per rid."""
+    pts = world.rects_customer(spark, sf_dir).selectExpr(
+        "CAST(rid AS STRING) AS cat",
+        "explode(array(array(cx - hw, cy - hh), array(cx + hw, cy - hh), "
+        "array(cx + hw, cy + hh), array(cx - hw, cy + hh), "
+        "array(cx + 0.1 * hw, cy))) AS pt",
+    ).selectExpr("cat", "pt[0] AS x", "pt[1] AS y")
+    return transforms_geom.concave_hull_groups(pts, alpha=100.0)
+
+
+@_register("max_inscribed_rect_rects", _MIR_RECTS_ORACLE)
+def q_max_inscribed_rect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin: the 40x40 inscribed-rect sweep over each customer
+    rect's 4 corners (hull == the rect) must return the bbox inset by one
+    sweep cell on the min edges — closed-form per rid, bit-identical
+    oracle."""
+    corners = world.rects_customer(spark, sf_dir).selectExpr(
+        "CAST(rid AS STRING) AS cat",
+        "explode(array(array(cx - hw, cy - hh), array(cx + hw, cy - hh), "
+        "array(cx + hw, cy + hh), array(cx - hw, cy + hh))) AS pt",
+    ).selectExpr("cat", "pt[0] AS x", "pt[1] AS y")
+    return transforms_geom.max_inscribed_rects(corners)
 
 
 @_register("tps_interpolation")

@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from opengxt_spark import (  # noqa: E402
-    ann, autocorr, binning, geo, imageops, joins, quadkey, raster, shapefile,
-    transforms_geom, wds, world,
+    ann, autocorr, binning, geo, imageops, joins, quadkey, raster, reproject,
+    shapefile, transforms_geom, wds, world,
 )
 from opengxt_spark.session import get_spark  # noqa: E402
 
@@ -126,6 +126,22 @@ def main() -> None:
         ("image_augment_chain (fused single mapInPandas by design)",
          imageops.augment_chain_images(
              raster.with_bytes(meta), 14, 12), True),
+        ("raster_resample_bicubic (16-tap exact-int weights, lattice join)",
+         raster.raster_resample_bicubic(spark), False),
+        ("ann_topk_ivfpq_residual (residual codebooks, compressed-domain "
+         "ADC)",
+         ann.ann_topk_ivfpq_residual(spark, stride=20, m=4, cstride=25),
+         False),
+        ("wds pruned read (manifest zone map -> 1-shard binaryFile scan)",
+         wds.read_wds_shards(spark, wds.wds_fixture(spark, sf_dir),
+                             okey_range=(1, 40)), True),
+        ("reproject 4326->102004 LCC (pure codegen projection)",
+         reproject.reproject(
+             world.points_part(spark, sf_dir).selectExpr(
+                 "pid", "x / 100.0 - 5.0 AS x", "y / 100.0 + 30.0 AS y"
+             ), 4326, 102004), False),
+        ("shp_roundtrip_lines (type-3 PolyLine shards by design)",
+         shapefile.shp_roundtrip_lines(spark, sf_dir), True),
     ]
     out = ["# PLANS — physical-plan audit of headline operators", ""]
     out.append(
